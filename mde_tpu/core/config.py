@@ -1,0 +1,211 @@
+"""Config system: OmegaConf-compatible YAML configs with the reference schema.
+
+The reference loads ``src/configs/config.yaml`` with ``OmegaConf.load`` and uses
+attribute access plus ``hasattr`` feature probing everywhere
+(reference: src/main.py:530-531, src/evaluation.py:108, src/configs/config.yaml:1-45).
+OmegaConf is not available in this environment, so this module provides a small
+attribute-access config tree with the same observable behaviour for the schema the
+reference uses, plus a ``framework`` section exposing the constants the reference
+hardcodes in module scope (src/main.py:26-33: BATCH_SIZE/LEARNING_RATE/WEIGHT_DECAY/
+INPUT_SIZE/NUM_WORKERS) with reference-matching defaults.
+
+YAML note: the reference config contains ``min_delta: 1e-4``; PyYAML parses bare
+``1e-4`` as a string (YAML 1.1 float regex requires a dot), while OmegaConf coerces
+it to float. We replicate the coercion so arithmetic on config scalars works.
+"""
+
+from __future__ import annotations
+
+import copy
+import re
+from typing import Any, Iterator, Mapping
+
+import yaml
+
+_NUMERIC_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
+def _coerce(value: Any) -> Any:
+    """Coerce YAML scalars the way OmegaConf does (notably bare '1e-4' -> float)."""
+    if isinstance(value, str) and _NUMERIC_RE.match(value):
+        try:
+            f = float(value)
+        except ValueError:  # pragma: no cover - regex should prevent this
+            return value
+        if f.is_integer() and ("e" not in value.lower() and "." not in value):
+            return int(f)
+        return f
+    return value
+
+
+class ConfigNode(Mapping):
+    """A nested attribute-access mapping mirroring OmegaConf DictConfig semantics."""
+
+    def __init__(self, data: Mapping | None = None):
+        object.__setattr__(self, "_data", {})
+        if data:
+            for k, v in data.items():
+                self[k] = v
+
+    # -- construction -----------------------------------------------------
+    @staticmethod
+    def _wrap(value: Any) -> Any:
+        if isinstance(value, ConfigNode):
+            return value
+        if isinstance(value, Mapping):
+            return ConfigNode(value)
+        if isinstance(value, (list, tuple)):
+            return [ConfigNode._wrap(v) for v in value]
+        return _coerce(value)
+
+    # -- mapping protocol ---------------------------------------------------
+    def __getitem__(self, key: str) -> Any:
+        return self._data[key]
+
+    def __setitem__(self, key: str, value: Any) -> None:
+        self._data[key] = self._wrap(value)
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._data)
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+    def __contains__(self, key: object) -> bool:
+        return key in self._data
+
+    # -- attribute access -----------------------------------------------------
+    def __getattr__(self, key: str) -> Any:
+        if key.startswith("_"):
+            raise AttributeError(key)
+        try:
+            return self._data[key]
+        except KeyError:
+            raise AttributeError(f"Missing config key: {key!r}") from None
+
+    def __setattr__(self, key: str, value: Any) -> None:
+        if key.startswith("_"):
+            object.__setattr__(self, key, value)
+        else:
+            self[key] = value
+
+    # -- helpers -----------------------------------------------------------
+    def get(self, key: str, default: Any = None) -> Any:
+        return self._data.get(key, default)
+
+    def to_container(self) -> dict:
+        out: dict = {}
+        for k, v in self._data.items():
+            if isinstance(v, ConfigNode):
+                out[k] = v.to_container()
+            elif isinstance(v, list):
+                out[k] = [x.to_container() if isinstance(x, ConfigNode) else x for x in v]
+            else:
+                out[k] = v
+        return out
+
+    def merge_from(self, other: Mapping) -> "ConfigNode":
+        """Deep-merge ``other`` into self (other wins), returning self."""
+        for k, v in other.items():
+            if isinstance(v, Mapping) and isinstance(self._data.get(k), ConfigNode):
+                self._data[k].merge_from(v)
+            else:
+                self[k] = v
+        return self
+
+    def copy(self) -> "ConfigNode":
+        return ConfigNode(copy.deepcopy(self.to_container()))
+
+    def __repr__(self) -> str:
+        return f"ConfigNode({self.to_container()!r})"
+
+
+def load(path: str) -> ConfigNode:
+    """Load a YAML config file; equivalent of ``OmegaConf.load``."""
+    with open(path, "r") as f:
+        raw = yaml.safe_load(f) or {}
+    cfg = defaults()
+    cfg.merge_from(raw)
+    return cfg
+
+
+def from_dict(data: Mapping) -> ConfigNode:
+    cfg = defaults()
+    cfg.merge_from(data)
+    return cfg
+
+
+def save(cfg: ConfigNode, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg.to_container(), f, sort_keys=False)
+
+
+def defaults() -> ConfigNode:
+    """Full default config.
+
+    The top-level sections replicate the reference schema
+    (src/configs/config.yaml:1-45) key for key; ``framework`` additionally exposes
+    the constants the reference hardcodes in-source with identical default values
+    (src/main.py:26-33, src/evaluation.py:19-29).
+    """
+    return ConfigNode(
+        {
+            "paths": {
+                "usr_name": "user",
+                "data_dir": "data",
+                "results_dir": "results",
+                "predictions_dir": "predictions",
+                # New (the reference derives these from usr_name home paths):
+                "train_list": None,
+                "test_list": None,
+                "output_dir": ".",
+            },
+            "experiment": {
+                "model_name": "midas_semantics_cross_attention_no_lb",
+                "wandb_disable": False,
+            },
+            "augmentation": False,
+            "training": {
+                "n_epoch": 10,
+                "batch_size": 4,
+                "resume_training": {
+                    "resume": False,
+                    "resume_from_epoch": 0,
+                    "run_id": None,
+                },
+                "early_stopping": {"patience": 3, "min_delta": 1e-4},
+            },
+            "model": {
+                "model_type": "MiDaS_small",
+                "dinov2_type": "dinov2_vits14",
+                "network": {"use_lb": False, "use_dgr": False},
+                "use_lb": False,
+                "use_dgr": False,
+                "loss_function": {
+                    "si_loss_alpha": 1,
+                    "silog_loss": {"alpha": 0, "variance_focus": 0.85},
+                    "grad_loss_alpha": 0,
+                    "edge_loss_alpha": 0,
+                },
+            },
+            "opt": {"evaluate_best_model": False},
+            # ---- framework section (reference hardcoded constants, now config) --
+            "framework": {
+                "learning_rate": 1e-4,      # src/main.py:27
+                "weight_decay": 1e-4,       # src/main.py:28
+                "input_size": [448, 576],   # src/main.py:31
+                "native_size": [426, 560],  # prediction output size, util.py:310
+                "num_workers": 4,           # src/main.py:32 (host decode threads)
+                "seed": 0,                  # src/main.py:615
+                "val_fraction": 0.15,       # src/main.py:611-612
+                "eval_n_samples": 1000,     # src/evaluation.py:20
+                "eval_base_thres": 1.05,    # src/evaluation.py:28
+                "eval_n_delta": 3,          # src/evaluation.py:27
+                "compute_dtype": "bfloat16",  # MXU-native compute precision
+                "mesh": {"data": -1, "model": 1},  # -1 => all remaining devices
+                "prefetch_depth": 2,
+                "drop_last": True,
+                "sync_batchnorm": True,
+            },
+        }
+    )

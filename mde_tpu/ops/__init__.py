@@ -1,0 +1,4 @@
+from .resize import resize_bilinear, upsample2x
+from .window_attention import windowed_cross_attention
+
+__all__ = ["resize_bilinear", "upsample2x", "windowed_cross_attention"]
