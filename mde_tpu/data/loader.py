@@ -1,0 +1,123 @@
+"""Threaded host loader with double-buffered device prefetch.
+
+Replaces the reference's ``DataLoader(num_workers=4, pin_memory=True,
+persistent_workers=True)`` (src/main.py:622-646). Worker *threads* (PNG decode and
+np.load release the GIL) fill a bounded queue of ready uint8/float32 numpy
+batches; the iterator hands them to JAX, optionally already placed on device with
+a sharding so the H2D copy overlaps the previous step. There is no per-step
+blocking ``.to(device)`` — the TPU equivalent of pin_memory+non_blocking is
+device_put against a committed sharding ahead of use.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from .dataset import DepthDataset
+
+
+class HostLoader:
+    def __init__(
+        self,
+        dataset: DepthDataset,
+        indices: Optional[Sequence[int]] = None,
+        batch_size: int = 4,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        seed: int = 0,
+        prefetch_depth: int = 2,
+    ):
+        self.dataset = dataset
+        self.indices = np.asarray(indices if indices is not None else np.arange(len(dataset)))
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch_depth = prefetch_depth
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    @property
+    def num_samples(self) -> int:
+        if self.drop_last:
+            return len(self) * self.batch_size
+        return len(self.indices)
+
+    def _batch_indices(self) -> list[np.ndarray]:
+        order = self.indices.copy()
+        if self.shuffle:
+            self._rng.shuffle(order)
+        batches = [
+            order[i : i + self.batch_size] for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def _assemble(self, idxs: np.ndarray) -> dict:
+        rgbs, depths, names = [], [], []
+        for i in idxs:
+            rgb, depth, name = self.dataset.load(int(i))
+            rgbs.append(rgb)
+            depths.append(depth)
+            names.append(name)
+        batch = {"rgb": np.stack(rgbs), "names": names}
+        if self.dataset.has_gt:
+            batch["depth"] = np.stack(depths)
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._batch_indices()
+        if not batches:
+            return
+        task_q: queue.Queue = queue.Queue()
+        for pos, idxs in enumerate(batches):
+            task_q.put((pos, idxs))
+        # Bound host memory: at most prefetch_depth + num_workers batches may be
+        # decoded but not yet consumed.
+        inflight = threading.Semaphore(self.prefetch_depth + self.num_workers)
+        # Per-slot result store so batches are yielded in order even though
+        # workers finish out of order.
+        results: dict[int, dict] = {}
+        results_cv = threading.Condition()
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                inflight.acquire()
+                try:
+                    pos, idxs = task_q.get_nowait()
+                except queue.Empty:
+                    inflight.release()
+                    return
+                batch = self._assemble(idxs)
+                with results_cv:
+                    results[pos] = batch
+                    results_cv.notify_all()
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(min(self.num_workers, len(batches)))
+        ]
+        for t in threads:
+            t.start()
+        try:
+            for pos in range(len(batches)):
+                with results_cv:
+                    while pos not in results:
+                        results_cv.wait(timeout=60.0)
+                    batch = results.pop(pos)
+                inflight.release()
+                yield batch
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(timeout=1.0)

@@ -1,0 +1,124 @@
+"""Data layer: synthetic fixtures, list-file dataset, threaded loader,
+on-device preprocessing pipelines."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mde_tpu.data import DepthDataset, HostLoader, split_train_val, synthetic, transforms
+
+SIZE = (64, 80)  # small stand-in for 426x560
+INPUT = (72, 88)
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cil_data")
+    synthetic.generate(str(root), n_train=10, n_test=3, size=SIZE)
+    return str(root)
+
+
+def test_dataset_contract(fixture_dir):
+    ds = DepthDataset(fixture_dir + "/train", fixture_dir + "/train_list.txt", has_gt=True)
+    assert len(ds) == 10
+    rgb, depth, entry = ds.load(0)
+    assert rgb.shape == (*SIZE, 3) and rgb.dtype == np.uint8
+    assert depth.shape == SIZE and depth.dtype == np.float32
+    assert entry == "sample_000000_rgb.png sample_000000_depth.npy"
+    tds = DepthDataset(fixture_dir + "/test", fixture_dir + "/test_list.txt", has_gt=False)
+    rgb, depth, entry = tds.load(1)
+    assert depth is None
+    assert entry.split(" ")[1] == "test_000001_depth.npy"
+
+
+def test_split_sizes_and_determinism():
+    tr, va = split_train_val(23970, 0.15, seed=0)
+    assert len(tr) == 20374 and len(va) == 3596  # same sizes as src/main.py:610-613
+    tr2, va2 = split_train_val(23970, 0.15, seed=0)
+    np.testing.assert_array_equal(tr, tr2)
+    assert set(tr).isdisjoint(set(va))
+
+
+def test_loader_batches_in_order(fixture_dir):
+    ds = DepthDataset(fixture_dir + "/train", fixture_dir + "/train_list.txt")
+    loader = HostLoader(ds, batch_size=4, shuffle=False, drop_last=True, num_workers=3)
+    batches = list(loader)
+    assert len(batches) == 2  # 10 // 4, drop_last
+    assert batches[0]["rgb"].shape == (4, *SIZE, 3)
+    assert batches[0]["depth"].shape == (4, *SIZE)
+    assert batches[0]["names"][0].startswith("sample_000000")
+    assert batches[1]["names"][0].startswith("sample_000004")
+
+
+def test_loader_shuffle_epochs_differ(fixture_dir):
+    ds = DepthDataset(fixture_dir + "/train", fixture_dir + "/train_list.txt")
+    loader = HostLoader(ds, batch_size=10, shuffle=True, num_workers=2, seed=1)
+    e1 = [n for b in loader for n in b["names"]]
+    e2 = [n for b in loader for n in b["names"]]
+    assert sorted(e1) == sorted(e2)
+    assert e1 != e2  # reshuffled between epochs
+
+
+def test_preprocess_eval_shapes(fixture_dir):
+    ds = DepthDataset(fixture_dir + "/train", fixture_dir + "/train_list.txt")
+    batch = next(iter(HostLoader(ds, batch_size=2, num_workers=1)))
+    rgb, depth = transforms.preprocess_eval(
+        jnp.asarray(batch["rgb"]), jnp.asarray(batch["depth"]), input_size=INPUT
+    )
+    assert rgb.shape == (2, *INPUT, 3)
+    assert depth.shape == (2, *INPUT)
+    # ImageNet normalization: zero-ish mean-scale, not [0,1]
+    assert float(jnp.min(rgb)) < 0.0
+
+
+def test_preprocess_train_is_stochastic_but_seeded(fixture_dir):
+    ds = DepthDataset(fixture_dir + "/train", fixture_dir + "/train_list.txt")
+    batch = next(iter(HostLoader(ds, batch_size=2, num_workers=1)))
+    rgb_u8, depth = jnp.asarray(batch["rgb"]), jnp.asarray(batch["depth"])
+    k = jax.random.key(0)
+    a1, d1 = transforms.preprocess_train(k, rgb_u8, depth, input_size=INPUT)
+    a2, d2 = transforms.preprocess_train(k, rgb_u8, depth, input_size=INPUT)
+    b1, _ = transforms.preprocess_train(jax.random.key(1), rgb_u8, depth, input_size=INPUT)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))  # same key -> same aug
+    assert np.abs(np.asarray(a1) - np.asarray(b1)).max() > 1e-3  # diff key -> diff aug
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2))
+
+
+def test_pairaug_geometry_is_paired(fixture_dir):
+    # With a key that triggers a flip, RGB and depth must transform together:
+    # check via correlation between the depth map and the red channel of a
+    # synthetic sample where depth is a monotone function of intensity.
+    ds = DepthDataset(fixture_dir + "/train", fixture_dir + "/train_list.txt")
+    batch = next(iter(HostLoader(ds, batch_size=4, num_workers=1)))
+    rgb_u8, depth = jnp.asarray(batch["rgb"]), jnp.asarray(batch["depth"])
+    rgb_a, depth_a = transforms.preprocess_pairaug(
+        jax.random.key(3), rgb_u8, depth, input_size=INPUT
+    )
+    assert rgb_a.shape == (4, *INPUT, 3) and depth_a.shape == (4, *INPUT)
+    # For every sample the augmented depth must still correlate strongly with
+    # augmented luminance (jitter is photometric-only; geometry is shared).
+    from mde_tpu.ops.image import denormalize_imagenet
+
+    lum = np.asarray(denormalize_imagenet(rgb_a)).mean(-1).reshape(4, -1)
+    dep = np.asarray(depth_a).reshape(4, -1)
+    for i in range(4):
+        c = np.corrcoef(lum[i], dep[i])[0, 1]
+        assert c > 0.7, f"sample {i}: rgb/depth decorrelated (corr={c:.3f})"
+
+
+def test_color_jitter_identity_when_zero(rng):
+    from mde_tpu.ops.image import color_jitter
+
+    x = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32))
+    y = color_jitter(jax.random.key(0), x, 0.0, 0.0, 0.0, 0.0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+
+def test_hsv_roundtrip(rng):
+    from mde_tpu.ops.image import _hsv_to_rgb, _rgb_to_hsv
+
+    x = jnp.asarray(rng.uniform(0, 1, (64, 3)).astype(np.float32))
+    back = _hsv_to_rgb(_rgb_to_hsv(x))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
