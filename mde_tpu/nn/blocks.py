@@ -1,0 +1,245 @@
+"""Flax building blocks: torch-convention convs + the RefineNet fusion decoder.
+
+Decoder parity targets (topology, not code) in the reference:
+- ``ResidualConvUnit``        src/network/blocks.py:243-279
+- ``ResidualConvUnitCustom``  src/network/blocks.py:319-376 (optional BN)
+- ``FeatureFusionBlock``      src/network/blocks.py:282-314 (2x up, align=True)
+- ``FeatureFusionBlockCustom``src/network/blocks.py:379-438 (expand halving,
+                              1x1 out conv, size-targeted upsample)
+- ``ScratchConvs``            src/network/blocks.py:133-163 (_make_scratch)
+
+Everything is NHWC (TPU-native layout). ``Conv``/``ConvTranspose`` reproduce
+PyTorch's exact padding arithmetic — explicit symmetric padding rather than
+XLA 'SAME' (whose asymmetric pad placement differs for strided convs) — so that
+(a) shapes match the reference everywhere and (b) imported ``.pth`` weights
+produce identical activations. Initialization follows torch defaults
+(kaiming-uniform with a=sqrt(5), uniform bias bound 1/sqrt(fan_in)) so from-scratch
+training starts from the same distribution family as the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import resize_bilinear, upsample2x
+
+
+def _kaiming_uniform(key, shape, dtype=jnp.float32):
+    """torch.nn.Conv2d default weight init (kaiming_uniform, a=sqrt(5)) in HWIO."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    gain = math.sqrt(2.0 / (1.0 + 5.0))
+    bound = gain * math.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def _torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+class Conv(nn.Module):
+    """Conv2d with torch padding semantics: pad ``padding`` on each side."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        in_ch = x.shape[-1]
+        fan_in = (in_ch // self.groups) * k * k
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(k, k),
+            strides=(s, s),
+            padding=((p, p), (p, p)),
+            use_bias=self.use_bias,
+            feature_group_count=self.groups,
+            kernel_init=_kaiming_uniform,
+            bias_init=_torch_bias_init(fan_in),
+        )(x)
+
+
+class ConvTranspose(nn.Module):
+    """ConvTranspose2d with torch semantics: out = (in-1)*s - 2p + k.
+
+    Implemented directly as an input-dilated convolution with a spatially
+    flipped kernel, which is exactly what torch computes — so a converted
+    ``.pth`` kernel (after OIHW->HWIO transpose) drops straight in.
+    """
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", _kaiming_uniform, (k, k, in_ch, self.features)
+        )
+        pad = k - 1 - p
+        y = jax.lax.conv_general_dilated(
+            x,
+            jnp.flip(kernel, axis=(0, 1)),
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", _torch_bias_init(in_ch * k * k), (self.features,))
+            y = y + bias
+        return y
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch defaults (eps 1e-5, momentum 0.1) over NHWC.
+
+    ``axis_name`` enables cross-device statistics sync when the train step runs
+    under shard_map/pmap with that mesh axis — the data-parallel sync_batchnorm
+    the single-GPU reference never needed (SURVEY.md §7.4 item 3).
+    """
+
+    use_running_average: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.axis_name,
+        )(x)
+
+
+def interpolate(x, scale_factor=None, size=None, align_corners=False):
+    """The reference's Interpolate module as a function (blocks.py:208-240)."""
+    if size is not None:
+        return resize_bilinear(x, tuple(size), align_corners=align_corners)
+    h_axis = x.ndim - 3 if x.ndim >= 4 else x.ndim - 2
+    out = (int(x.shape[h_axis] * scale_factor), int(x.shape[h_axis + 1] * scale_factor))
+    return resize_bilinear(x, out, align_corners=align_corners)
+
+
+class ResidualConvUnit(nn.Module):
+    """relu-conv3x3-relu-conv3x3 + skip (blocks.py:243-279)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.relu(x)
+        out = Conv(self.features, 3, 1, 1, use_bias=True, name="conv1")(out)
+        out = nn.relu(out)
+        out = Conv(self.features, 3, 1, 1, use_bias=True, name="conv2")(out)
+        return out + x
+
+
+class ResidualConvUnitCustom(nn.Module):
+    """RCU with optional BatchNorm between conv and activation (blocks.py:319-376)."""
+
+    features: int
+    bn: bool = False
+    train: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.relu(x)
+        out = Conv(self.features, 3, 1, 1, use_bias=True, name="conv1")(out)
+        if self.bn:
+            out = BatchNorm(not self.train, self.axis_name, name="bn1")(out)
+        out = nn.relu(out)
+        out = Conv(self.features, 3, 1, 1, use_bias=True, name="conv2")(out)
+        if self.bn:
+            out = BatchNorm(not self.train, self.axis_name, name="bn2")(out)
+        return out + x
+
+
+class FeatureFusionBlock(nn.Module):
+    """Plain MiDaS fusion: optional skip RCU, RCU, 2x bilinear up align=True
+    (blocks.py:282-314). Call with (x,) or (x, skip)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, *xs):
+        output = xs[0]
+        if len(xs) == 2:
+            output = output + ResidualConvUnit(self.features, name="resConfUnit1")(xs[1])
+        output = ResidualConvUnit(self.features, name="resConfUnit2")(output)
+        return interpolate(output, scale_factor=2, align_corners=True)
+
+
+class FeatureFusionBlockCustom(nn.Module):
+    """MiDaS-small fusion block (blocks.py:379-438).
+
+    expand=True halves the channel count in the 1x1 out conv; the upsample is
+    2x by default or targeted to ``size`` when given (DPT passes explicit sizes,
+    dpt_depth.py:252-257).
+    """
+
+    features: int
+    bn: bool = False
+    expand: bool = False
+    align_corners: bool = True
+    train: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, *xs, size=None):
+        output = xs[0]
+        if len(xs) == 2:
+            res = ResidualConvUnitCustom(
+                self.features, self.bn, self.train, self.axis_name, name="resConfUnit1"
+            )(xs[1])
+            output = output + res
+        output = ResidualConvUnitCustom(
+            self.features, self.bn, self.train, self.axis_name, name="resConfUnit2"
+        )(output)
+        if size is None:
+            output = interpolate(output, scale_factor=2, align_corners=self.align_corners)
+        else:
+            output = interpolate(output, size=size, align_corners=self.align_corners)
+        out_features = self.features // 2 if self.expand else self.features
+        return Conv(out_features, 1, 1, 0, use_bias=True, name="out_conv")(output)
+
+
+class ScratchConvs(nn.Module):
+    """The per-level 3x3 reassemble convs of _make_scratch (blocks.py:133-163).
+
+    Produces features*(1,2,4,8) channels when ``expand`` else uniform features.
+    """
+
+    features: int
+    expand: bool = False
+
+    @nn.compact
+    def __call__(self, layers: Sequence[jnp.ndarray]) -> list[jnp.ndarray]:
+        outs = []
+        for i, layer in enumerate(layers):
+            mult = 2**i if self.expand else 1
+            outs.append(
+                Conv(
+                    self.features * mult, 3, 1, 1, use_bias=False, name=f"layer{i + 1}_rn"
+                )(layer)
+            )
+        return outs

@@ -1,0 +1,62 @@
+"""Device mesh + sharding policy.
+
+The reference has no distributed training at all (SURVEY.md §2.6: a commented-out
+``nn.DataParallel`` and DataLoader worker IPC are the closest things). The
+TPU-native replacement is single-controller JAX over ICI: a ``('data', 'model')``
+mesh, batches sharded on ``data``, parameters replicated (models here are <100M
+params, so tensor parallelism is unnecessary — but the model axis exists so a
+future tp layout only changes PartitionSpecs, not the step function).
+
+Under ``jax.jit`` + GSPMD, gradient all-reduce *and* cross-device batch-norm
+statistics come out as XLA collectives automatically — there is no NCCL analog to
+manage, and no explicit psum in user code unless shard_map is chosen.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh; data=-1 means all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard axis 0 (batch) over 'data'; everything else replicated."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def shard_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
+    """device_put array leaves with batch-dim sharding (arrays only; passthrough
+    for lists like filenames). The committed placement lets the H2D copy overlap
+    the previous step instead of blocking like the reference's per-step
+    ``.to(device)`` (src/main.py:126)."""
+    if mesh is None:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "ndim"):
+            out[k] = jax.device_put(v, data_sharding(mesh, v.ndim))
+        else:
+            out[k] = v
+    return out
+
+
+def replicate(tree, mesh: Optional[Mesh]):
+    """Fully replicate a pytree of arrays over the mesh."""
+    if mesh is None:
+        return tree
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
