@@ -51,13 +51,37 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def make_optimizer(cfg) -> optax.GradientTransformation:
-    return optax.adamw(
+FROZEN_SUBTREES = ("dinov2",)
+
+
+def make_optimizer(cfg, params=None) -> optax.GradientTransformation:
+    """AdamW with torch defaults; frozen subtrees get zero updates.
+
+    The reference freezes the DINOv2 backbone with requires_grad=False
+    (src/network/midas_semantics.py:169-172). The JAX equivalent is an optax
+    partition: parameters under a frozen subtree (top-level key in
+    ``FROZEN_SUBTREES``) receive set_to_zero updates — in particular AdamW's
+    decoupled weight decay must NOT touch them, which a plain mask on gradients
+    would get wrong.
+    """
+    adamw = optax.adamw(
         learning_rate=cfg.framework.learning_rate,
         b1=0.9,
         b2=0.999,
         eps=1e-8,
         weight_decay=cfg.framework.weight_decay,
+    )
+    if params is None or not any(k in params for k in FROZEN_SUBTREES):
+        return adamw
+
+    def label(path, _):
+        top = path[0]
+        key = getattr(top, "key", getattr(top, "name", None))
+        return "frozen" if key in FROZEN_SUBTREES else "train"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    return optax.multi_transform(
+        {"train": adamw, "frozen": optax.set_to_zero()}, labels
     )
 
 
@@ -65,7 +89,7 @@ def create_train_state(model, key, sample_rgb, cfg, mesh=None) -> TrainState:
     variables = model.init(key, sample_rgb, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
-    tx = make_optimizer(cfg)
+    tx = make_optimizer(cfg, params)
     state = TrainState(
         step=jnp.asarray(0, jnp.int32),
         params=params,

