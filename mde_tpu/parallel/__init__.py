@@ -1,3 +1,17 @@
-from .mesh import make_mesh, shard_batch, replicate, data_sharding
+from .mesh import (
+    make_mesh,
+    make_training_mesh,
+    clamp_data_axis,
+    shard_batch,
+    replicate,
+    data_sharding,
+)
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding"]
+__all__ = [
+    "make_mesh",
+    "make_training_mesh",
+    "clamp_data_axis",
+    "shard_batch",
+    "replicate",
+    "data_sharding",
+]

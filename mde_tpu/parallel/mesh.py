@@ -22,15 +22,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
-    """Build a ('data', 'model') mesh; data=-1 means all remaining devices."""
+    """Build a ('data', 'model') mesh; data=-1 means all remaining devices.
+    If data*model is smaller than the device count, the first data*model
+    devices are used (lets a mesh match a batch size that doesn't divide)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
         assert n % model == 0, f"{n} devices not divisible by model={model}"
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    arr = np.asarray(devices).reshape(data, model)
+    assert data * model <= n, f"mesh {data}x{model} exceeds {n} devices"
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))
+
+
+def make_training_mesh(cfg, batch_size: int) -> Mesh:
+    """Mesh from config with the data axis clamped to divide the batch size."""
+    model = int(cfg.framework.mesh.get("model", 1))
+    requested = int(cfg.framework.mesh.get("data", -1))
+    n = len(jax.devices())
+    usable = n // model
+    data = clamp_data_axis(requested, batch_size, usable)
+    return make_mesh(data, model)
 
 
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
@@ -42,16 +54,35 @@ def shard_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
     """device_put array leaves with batch-dim sharding (arrays only; passthrough
     for lists like filenames). The committed placement lets the H2D copy overlap
     the previous step instead of blocking like the reference's per-step
-    ``.to(device)`` (src/main.py:126)."""
+    ``.to(device)`` (src/main.py:126).
+
+    A batch whose leading dim does not divide over the 'data' axis (e.g. the
+    final partial validation batch) is placed replicated instead — correct,
+    just not parallel, and only ever hit on remainder batches."""
     if mesh is None:
         return batch
+    n_data = mesh.shape["data"]
     out = {}
     for k, v in batch.items():
         if hasattr(v, "ndim"):
-            out[k] = jax.device_put(v, data_sharding(mesh, v.ndim))
+            if v.shape[0] % n_data == 0:
+                out[k] = jax.device_put(v, data_sharding(mesh, v.ndim))
+            else:
+                out[k] = jax.device_put(v, NamedSharding(mesh, P()))
         else:
             out[k] = v
     return out
+
+
+def clamp_data_axis(requested: int, batch_size: int, n_devices: Optional[int] = None) -> int:
+    """Largest usable 'data' axis size: divides batch_size, <= device count."""
+    n = n_devices if n_devices is not None else len(jax.devices())
+    if requested == -1:
+        requested = n
+    requested = min(requested, n)
+    while requested > 1 and batch_size % requested != 0:
+        requested -= 1
+    return max(requested, 1)
 
 
 def replicate(tree, mesh: Optional[Mesh]):

@@ -1,0 +1,139 @@
+"""Entry-point tools: CSV byte-compatibility and the full train->predict->csv
+pipeline on synthetic data with the U_Net config."""
+
+import base64
+import os
+import sys
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mde_tpu.data import synthetic
+from mde_tpu.tools.create_prediction_csv import compress_depth_values, process_depth_maps
+
+
+def test_csv_encoding_byte_compatible(tmp_path, rng):
+    """Replays the reference encoding steps (create_prediction_csv.py:16-55)
+    independently and requires byte equality."""
+    pred_dir = tmp_path / "predictions"
+    pred_dir.mkdir()
+    lines = []
+    for i in range(3):
+        arr = rng.uniform(0, 10, size=(5, 7)).astype(np.float32)
+        np.save(pred_dir / f"test_{i:06d}_depth.npy", arr)
+        lines.append(f"test_{i:06d}_rgb.png test_{i:06d}_depth.npy")
+    test_list = tmp_path / "test_list.txt"
+    test_list.write_text("\n".join(lines) + "\n")
+    out_csv = tmp_path / "predictions.csv"
+    process_depth_maps(str(pred_dir), str(test_list), str(out_csv))
+
+    df = pd.read_csv(out_csv)
+    assert list(df.columns) == ["id", "Depths"]
+    assert df["id"].tolist() == [f"test_{i:06d}_depth" for i in range(3)]
+    for i in range(3):
+        arr = np.load(pred_dir / f"test_{i:06d}_depth.npy")
+        expected_bytes = ",".join(
+            f"{x:.2f}" for x in np.round(arr.flatten(), 2)
+        ).encode("utf-8")
+        expected = base64.b64encode(zlib.compress(expected_bytes, level=9)).decode("utf-8")
+        assert df["Depths"][i] == expected
+        # and it decodes back to the rounded values
+        decoded = zlib.decompress(base64.b64decode(df["Depths"][i])).decode("utf-8")
+        vals = np.asarray([float(v) for v in decoded.split(",")], np.float32)
+        np.testing.assert_allclose(vals, np.round(arr.flatten(), 2), atol=5e-3)
+
+
+def test_compress_roundtrip_simple():
+    vals = np.asarray([0.0, 1.234, 9.999])
+    blob = compress_depth_values(np.round(vals, 2))
+    text = zlib.decompress(base64.b64decode(blob)).decode()
+    assert text == "0.00,1.23,10.00"
+
+
+@pytest.fixture(scope="module")
+def pipeline_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data = root / "data"
+    synthetic.generate(str(data), n_train=8, n_test=3, size=(64, 96))
+    cfg_path = root / "config.yaml"
+    cfg_path.write_text(
+        f"""
+paths:
+  data_dir: {data}
+  results_dir: {root}/results
+  predictions_dir: {root}/predictions
+experiment:
+  model_name: e2e_unet
+  wandb_disable: True
+training:
+  n_epoch: 1
+  batch_size: 4
+model:
+  model_type: U_Net
+  dinov2_type: null
+framework:
+  input_size: [64, 96]
+  native_size: [64, 96]
+  num_workers: 2
+  mesh: {{data: -1, model: 1}}
+"""
+    )
+    return root, cfg_path
+
+
+def _run_tool(monkeypatch, module_main, argv):
+    monkeypatch.setattr(sys, "argv", argv)
+    module_main()
+
+
+def test_main_tool_end_to_end(pipeline_env, monkeypatch):
+    root, cfg_path = pipeline_env
+    from mde_tpu.tools import main as main_tool
+
+    monkeypatch.chdir(root)
+    _run_tool(monkeypatch, main_tool.main, ["main.py", "--config", str(cfg_path)])
+    assert (root / "results" / "best_model_e2e_unet.pth").exists()
+    preds = sorted(os.listdir(root / "predictions"))
+    assert preds == [f"test_{i:06d}_depth.npy" for i in range(3)]
+    assert np.load(root / "predictions" / preds[0]).shape == (64, 96)
+
+
+def test_generate_predictions_and_csv(pipeline_env, monkeypatch):
+    root, cfg_path = pipeline_env
+    from mde_tpu.tools import generate_predictions as gp
+
+    monkeypatch.chdir(root)
+    _run_tool(monkeypatch, gp.main, ["generate_predictions.py", "--config", str(cfg_path)])
+    df = pd.read_csv(root / "predictions.csv")
+    assert df.shape == (3, 2)
+
+
+def test_evaluation_tool(pipeline_env, monkeypatch, capsys):
+    root, cfg_path = pipeline_env
+    from mde_tpu.tools import evaluation as ev
+
+    monkeypatch.chdir(root)
+    _run_tool(monkeypatch, ev.main, ["evaluation.py", "--config", str(cfg_path)])
+    out = capsys.readouterr().out
+    assert "Number of trainable parameters" in out
+    assert "Average Scale-Invariant Loss" in out
+    assert "Average Delta" in out
+
+
+def test_visualize_tool(pipeline_env, monkeypatch):
+    root, cfg_path = pipeline_env
+    from mde_tpu.tools import visualize as viz
+
+    monkeypatch.chdir(root)
+    _run_tool(
+        monkeypatch,
+        viz.main,
+        ["visualize.py", "--config", str(cfg_path), "--n-samples", "2"],
+    )
+    figs = sorted(os.listdir(root / "visualization" / "figures"))
+    assert "000000_gtd.png" in figs
+    assert "000000_e2e_unet_pred.png" in figs
+    assert "000000_e2e_unet_lmap.png" in figs
+    assert len(figs) == 6
