@@ -1,0 +1,112 @@
+"""Benchmark: flagship train-step throughput on the available accelerator.
+
+Measures images/sec of the full jitted training step (on-device preprocessing +
+forward + SI loss + backward + AdamW) for the flagship MidasNetSemantics config
+(448x576, the reference's config.yaml headline), sweeping batch sizes and
+reporting the best. ``vs_baseline`` compares against the reference-stack torch
+CPU measurement stored in benchmarks/baseline_cpu.json (see
+benchmarks/torch_cpu_baseline.py — architecture-equivalent flagship on the
+reference's own framework; its training recipe used batch 4 on one device,
+src/main.py:26-31).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N, ...extras}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def measure(batch: int, size=(448, 576), warmup=2, steps=10):
+    import jax
+    import jax.numpy as jnp
+
+    from mde_tpu.core import config as config_lib
+    from mde_tpu.models import build_model
+    from mde_tpu.parallel import make_mesh, shard_batch
+    from mde_tpu.train import create_train_state, make_train_step
+
+    cfg = config_lib.defaults()
+    cfg.framework.input_size = list(size)
+    model = build_model(cfg.model)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(data=n_dev, model=1) if (n_dev > 1 and batch % n_dev == 0) else None
+
+    rgb_f = jnp.zeros((1, *size, 3), jnp.float32)
+    state = create_train_state(model, jax.random.key(0), rgb_f, cfg, mesh)
+    step = make_train_step(model, cfg)
+
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "rgb": rng.integers(0, 255, (batch, *size, 3)).astype(np.uint8),
+        "depth": rng.uniform(0.5, 9.5, (batch, *size)).astype(np.float32),
+    }
+    data = shard_batch(batch_np, mesh)
+    key = jax.random.key(1)
+
+    for i in range(warmup):
+        state, metrics = step(state, jax.random.fold_in(key, i), data["rgb"], data["depth"])
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, jax.random.fold_in(key, 100 + i), data["rgb"], data["depth"])
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / steps
+    return batch / dt, dt
+
+
+def main():
+    import jax
+
+    platform = jax.devices()[0].platform
+    n_dev = len(jax.devices())
+    candidates = [32, 16, 8, 4] if platform != "cpu" else [4]
+    results = {}
+    for b in candidates:
+        try:
+            ips, sec = measure(b)
+            results[b] = (ips, sec)
+        except Exception as e:  # OOM etc.
+            results[b] = None
+            print(f"# batch {b} failed: {type(e).__name__}", flush=True)
+
+    ok = {b: r for b, r in results.items() if r}
+    if not ok:
+        print(json.dumps({"metric": "train_images_per_sec_flagship", "value": 0.0,
+                          "unit": "images/sec", "vs_baseline": None, "error": "all batches failed"}))
+        return
+    best_b = max(ok, key=lambda b: ok[b][0])
+    best_ips = ok[best_b][0]
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline_cpu.json")
+    vs = None
+    baseline_ips = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline_ips = json.load(f).get("train_images_per_sec")
+        if baseline_ips:
+            vs = best_ips / baseline_ips
+
+    record = {
+        "metric": "train_images_per_sec_flagship",
+        "value": round(best_ips, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "platform": platform,
+        "n_devices": n_dev,
+        "best_batch": best_b,
+        "sec_per_step": round(ok[best_b][1], 4),
+        "per_batch": {str(b): (round(r[0], 3) if r else None) for b, r in results.items()},
+        "baseline_cpu_images_per_sec": baseline_ips,
+    }
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

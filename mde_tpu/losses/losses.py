@@ -43,7 +43,7 @@ def scale_invariant_loss(
     pred = _flatten_per_sample(pred)
     target = _flatten_per_sample(target)
     diff = jnp.log(pred + epsilon) - jnp.log(target + epsilon)
-    n = diff.shape[1]
+    n = float(diff.shape[1])  # float: n^2 overflows int32 at 448x576 pixels
     term1 = jnp.sum(diff * diff, axis=1) / n
     term2 = jnp.square(jnp.sum(diff, axis=1)) / (n * n)
     loss = term1 - term2

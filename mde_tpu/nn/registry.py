@@ -1,0 +1,64 @@
+"""Encoder registry: the reference's 12-name ``_make_encoder`` dispatch surface.
+
+Mirrors src/network/blocks.py:32-130 — every backbone name the reference
+dispatches on is registered here with its per-level channel table, so models and
+tools can query the full surface; names whose backbone implementation hasn't
+landed yet raise NotImplementedError with a clear message instead of silently
+misbehaving. Implemented today: efficientnet_lite3 (+ the rest of the lite
+family), resnext101_wsl, vitb16_384, vitl16_384, and the DINOv2 family used by
+the semantics model.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from .efficientnet import EfficientNetLite, lite_stage_channels
+from .resnext import ResNetBackbone
+
+# name -> (channel table for _make_scratch, builder or None)
+ENCODER_REGISTRY: dict[str, tuple[list[int], Optional[Callable]]] = {
+    "beitl16_512": ([256, 512, 1024, 1024], None),
+    "beitl16_384": ([256, 512, 1024, 1024], None),
+    "beitb16_384": ([96, 192, 384, 768], None),
+    "swin2l24_384": ([192, 384, 768, 1536], None),
+    "swin2b24_384": ([128, 256, 512, 1024], None),
+    "swin2t16_256": ([96, 192, 384, 768], None),
+    "swinl12_384": ([192, 384, 768, 1536], None),
+    "next_vit_large_6m": ([96, 256, 512, 1024], None),
+    "levit_384": ([384, 512, 768], None),
+    "vitl16_384": ([256, 512, 1024, 1024], "vit"),
+    "vitb_rn50_384": ([256, 512, 768, 768], None),
+    "vitb16_384": ([96, 192, 384, 768], "vit"),
+    "resnext101_wsl": ([256, 512, 1024, 2048], lambda axis_name=None: ResNetBackbone(axis_name=axis_name)),
+}
+for _v in ("efficientnet_lite0", "efficientnet_lite1", "efficientnet_lite2",
+           "efficientnet_lite3", "efficientnet_lite4"):
+    ENCODER_REGISTRY[_v] = (
+        lite_stage_channels(_v),
+        (lambda v: lambda axis_name=None: EfficientNetLite(v, axis_name))(_v),
+    )
+
+
+def encoder_channels(backbone: str) -> list[int]:
+    if backbone not in ENCODER_REGISTRY:
+        raise ValueError(f"Backbone {backbone!r} not in registry")
+    return list(ENCODER_REGISTRY[backbone][0])
+
+
+def make_encoder(backbone: str, axis_name: Optional[str] = None):
+    """Build the stage-sliced feature backbone for ``backbone``.
+
+    ViT-family names are consumed directly by models/dpt.py (token backbones
+    don't fit the 4-feature-map interface without the DPT reassembly).
+    """
+    if backbone not in ENCODER_REGISTRY:
+        raise ValueError(f"Backbone {backbone!r} not in registry")
+    _, builder = ENCODER_REGISTRY[backbone]
+    if builder is None or builder == "vit":
+        raise NotImplementedError(
+            f"Backbone {backbone!r} is registered but its implementation has not "
+            "landed yet (implemented: efficientnet_lite*, resnext101_wsl; "
+            "vitb16_384/vitl16_384 via models.dpt)"
+        )
+    return builder(axis_name=axis_name)

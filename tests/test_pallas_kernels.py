@@ -1,0 +1,79 @@
+"""Pallas kernels (interpret mode on CPU) vs their jnp reference math."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mde_tpu import losses
+from mde_tpu.ops.pallas_kernels import (
+    normalize_u8_fused,
+    scale_invariant_loss_fused,
+    si_loss_sums,
+    window_attention_fused,
+)
+
+
+def test_si_sums_match(rng):
+    pred = rng.uniform(0.05, 9.0, (3, 17, 23)).astype(np.float32)
+    target = rng.uniform(0.05, 9.0, (3, 17, 23)).astype(np.float32)
+    s1, s2 = si_loss_sums(jnp.asarray(pred), jnp.asarray(target))
+    d = np.log(pred.reshape(3, -1) + 1e-6) - np.log(target.reshape(3, -1) + 1e-6)
+    np.testing.assert_allclose(np.asarray(s1), d.sum(1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2), (d * d).sum(1), rtol=1e-4)
+
+
+def test_fused_si_loss_matches_reference_impl(rng):
+    pred = rng.uniform(0.05, 9.0, (4, 33, 41)).astype(np.float32)
+    target = rng.uniform(0.05, 9.0, (4, 33, 41)).astype(np.float32)
+    for sqroot in (False, True):
+        got = float(
+            scale_invariant_loss_fused(jnp.asarray(pred), jnp.asarray(target), sqroot=sqroot)
+        )
+        want = float(
+            losses.scale_invariant_loss(jnp.asarray(pred), jnp.asarray(target), sqroot=sqroot)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_si_sums_custom_vjp_matches_autodiff(rng):
+    pred = rng.uniform(0.1, 5.0, (2, 9, 11)).astype(np.float32)
+    target = rng.uniform(0.1, 5.0, (2, 9, 11)).astype(np.float32)
+
+    def fused(p):
+        return scale_invariant_loss_fused(p, jnp.asarray(target))
+
+    def ref(p):
+        return losses.scale_invariant_loss(p, jnp.asarray(target))
+
+    g_fused = jax.grad(fused)(jnp.asarray(pred))
+    g_ref = jax.grad(ref)(jnp.asarray(pred))
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-4, atol=1e-7)
+
+
+def test_window_attention_fused_matches_xla(rng):
+    from mde_tpu.ops.window_attention import _window_partition, _window_unpartition
+
+    b, h, w, c, heads, ws = 1, 32, 32, 16, 4, 16
+    q, k, v = (rng.standard_normal((b, h, w, c)).astype(np.float32) for _ in range(3))
+    qw, nh, nw = _window_partition(jnp.asarray(q), ws)
+    kw, _, _ = _window_partition(jnp.asarray(k), ws)
+    vw, _, _ = _window_partition(jnp.asarray(v), ws)
+    out = window_attention_fused(qw, kw, vw, heads, n_valid=ws * ws)
+    got = np.asarray(_window_unpartition(out, ws, nh, nw))
+
+    from mde_tpu.ops import windowed_cross_attention
+
+    want = np.asarray(
+        windowed_cross_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads, ws)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_normalize_u8_fused(rng):
+    u8 = rng.integers(0, 255, (2, 16, 24, 3)).astype(np.uint8)
+    got = np.asarray(normalize_u8_fused(jnp.asarray(u8)))
+    mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    want = (u8.astype(np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
