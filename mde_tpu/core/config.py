@@ -201,7 +201,12 @@ def defaults() -> ConfigNode:
                 "eval_n_samples": 1000,     # src/evaluation.py:20
                 "eval_base_thres": 1.05,    # src/evaluation.py:28
                 "eval_n_delta": 3,          # src/evaluation.py:27
-                "compute_dtype": "bfloat16",  # MXU-native compute precision
+                # Forward/backward compute precision. float32 measured FASTER
+                # than bfloat16 for the flagship on v5e (549 vs 114 img/s at
+                # bs8; XLA's f32 convs already use bf16x3 MXU passes, and the
+                # bf16 path currently hits a layout pathology — see
+                # train/profiling.py for the investigation tooling).
+                "compute_dtype": "float32",
                 "mesh": {"data": -1, "model": 1},  # -1 => all remaining devices
                 "prefetch_depth": 2,
                 "drop_last": True,

@@ -33,6 +33,12 @@ class DepthDataset:
     def __len__(self) -> int:
         return len(self.entries)
 
+    def paths(self, idx: int) -> tuple[str, Optional[str]]:
+        tokens = self.pairs[idx]
+        rgb = os.path.join(self.data_dir, tokens[0])
+        depth = os.path.join(self.data_dir, tokens[1]) if self.has_gt else None
+        return rgb, depth
+
     def load(self, idx: int) -> tuple[np.ndarray, Optional[np.ndarray], str]:
         """Returns (rgb uint8 HWC, depth float32 HW or None, list-file entry)."""
         tokens = self.pairs[idx]

@@ -40,6 +40,7 @@ class HostLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch_depth = prefetch_depth
         self._rng = np.random.default_rng(seed)
+        self._native_hw = "unprobed"
 
     def __len__(self) -> int:
         n = len(self.indices)
@@ -62,13 +63,47 @@ class HostLoader:
             batches.pop()
         return batches
 
+    def _native_size(self):
+        """Probe + cache the image size for the native batch decoder; None
+        disables the native path (lib missing or probe failed)."""
+        if self._native_hw == "unprobed":
+            self._native_hw = None
+            try:
+                from . import native
+
+                if native.available():
+                    rgb_path, _ = self.dataset.paths(int(self.indices[0]))
+                    self._native_hw = native.png_info(rgb_path)
+            except (IOError, OSError, IndexError):
+                self._native_hw = None
+        return self._native_hw
+
     def _assemble(self, idxs: np.ndarray) -> dict:
-        rgbs, depths, names = [], [], []
+        names = [self.dataset.entries[int(i)] for i in idxs]
+        hw = self._native_size()
+        if hw is not None:
+            from . import native
+
+            paths = [self.dataset.paths(int(i)) for i in idxs]
+            try:
+                # The C++ pool already parallelizes across the batch; decoding
+                # here stays single-threaded per call.
+                rgb, depth = native.load_batch(
+                    [p[0] for p in paths],
+                    [p[1] for p in paths] if self.dataset.has_gt else None,
+                    hw[0], hw[1], workers=1,
+                )
+                batch = {"rgb": rgb, "names": names}
+                if depth is not None:
+                    batch["depth"] = depth
+                return batch
+            except IOError:
+                pass  # odd-sized or unsupported file: fall through to PIL
+        rgbs, depths = [], []
         for i in idxs:
-            rgb, depth, name = self.dataset.load(int(i))
+            rgb, depth, _ = self.dataset.load(int(i))
             rgbs.append(rgb)
             depths.append(depth)
-            names.append(name)
         batch = {"rgb": np.stack(rgbs), "names": names}
         if self.dataset.has_gt:
             batch["depth"] = np.stack(depths)

@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..nn.blocks import BatchNorm, Conv, ConvTranspose, FeatureFusionBlockCustom, ScratchConvs
+from ..nn.blocks import BatchNorm, Conv, ConvTranspose, FeatureFusionBlockCustom, LayerNorm, ScratchConvs
 from ..nn.vit import VIT_CONFIGS, ViT
 from ..ops.resize import resize_bilinear
 from ..ops.window_attention import windowed_cross_attention
@@ -92,15 +92,15 @@ class CrossAttention(nn.Module):
         x_r = reduction(x)
         ctx_r = reduction(context)
 
-        q_in = nn.LayerNorm(name="norm_q")(x_r)
-        k_in = nn.LayerNorm(name="norm_k")(ctx_r)
-        v_in = nn.LayerNorm(name="norm_v")(ctx_r)
+        q_in = LayerNorm(name="norm_q")(x_r)
+        k_in = LayerNorm(name="norm_k")(ctx_r)
+        v_in = LayerNorm(name="norm_v")(ctx_r)
         q = nn.Dense(self.dim, use_bias=False, name="q")(q_in)
         k = nn.Dense(self.dim, use_bias=False, name="k")(k_in)
         v = nn.Dense(self.dim, use_bias=False, name="v")(v_in)
 
         out = windowed_cross_attention(q, k, v, self.num_heads, self.window_size)
-        out = nn.LayerNorm(name="norm_out")(out)
+        out = LayerNorm(name="norm_out")(out)
         out = nn.Dense(self.dim, name="proj")(out)
 
         for i in range(3):

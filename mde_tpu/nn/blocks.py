@@ -122,12 +122,31 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.BatchNorm(
+        # fp32 island: batch statistics in bf16 lose too much precision over
+        # H*W*B elements; cast in/out so mixed-precision models stay stable.
+        dtype = x.dtype
+        y = nn.BatchNorm(
             use_running_average=self.use_running_average,
             momentum=0.9,
             epsilon=1e-5,
             axis_name=self.axis_name,
-        )(x)
+            dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm computed in float32 regardless of activation dtype."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return y.astype(dtype)
 
 
 def interpolate(x, scale_factor=None, size=None, align_corners=False):

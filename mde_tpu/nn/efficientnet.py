@@ -85,12 +85,15 @@ class TFBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.BatchNorm(
+        dtype = x.dtype
+        y = nn.BatchNorm(
             use_running_average=not self.train,
             momentum=0.9,
             epsilon=1e-3,
             axis_name=self.axis_name,
-        )(x)
+            dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(dtype)
 
 
 class MBConvLite(nn.Module):

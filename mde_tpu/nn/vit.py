@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.resize import resize_bilinear
+from .blocks import LayerNorm
 
 VIT_CONFIGS = {
     # name: (embed_dim, depth, num_heads, patch_size)
@@ -86,10 +87,10 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        h = LayerNorm(epsilon=1e-6, name="norm1")(x)
         h = Attention(self.dim, self.num_heads, name="attn")(h)
         x = x + LayerScale(self.dim, self.layerscale_init, name="ls1")(h)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = LayerNorm(epsilon=1e-6, name="norm2")(x)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(h)
         return x + LayerScale(self.dim, self.layerscale_init, name="ls2")(h)
 
@@ -151,7 +152,7 @@ class ViT(nn.Module):
             # DPT-style hooks: raw block outputs incl. class token, no final LN
             # (the forward-hook taps of src/network/backbones/vit.py).
             return outputs
-        norm = nn.LayerNorm(epsilon=1e-6, name="norm")
+        norm = LayerNorm(epsilon=1e-6, name="norm")
         # get_intermediate_layers(norm=True): final LN applied to each tap,
         # class token dropped.
         return [norm(t)[:, 1:, :] for t in outputs]

@@ -13,6 +13,7 @@ from .trainer import (
 )
 from .checkpoint import save_checkpoint, load_checkpoint
 from .logging import ExperimentLogger
+from .profiling import StepTimer, device_memory_stats, trace
 
 __all__ = [
     "TrainState",
@@ -29,4 +30,7 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "ExperimentLogger",
+    "StepTimer",
+    "device_memory_stats",
+    "trace",
 ]

@@ -106,6 +106,14 @@ def create_train_state(model, key, sample_rgb, cfg, mesh=None) -> TrainState:
     return state
 
 
+def _cast_floating(tree, dtype):
+    """Cast floating-point leaves to ``dtype`` (differentiable; ints/bools pass)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
 def _apply_model(model, params, batch_stats, rgb, train):
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
@@ -126,13 +134,26 @@ def make_train_step(model, cfg) -> Callable:
     pipeline = T.make_train_pipeline(
         bool(cfg.augmentation), cfg.framework.input_size
     )
+    compute_dtype = jnp.dtype(cfg.framework.get("compute_dtype", "bfloat16"))
+    if compute_dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        # bf16 is MXU-native on TPU but software-emulated on the CPU backend
+        # (tests, dev); keep CPU in fp32.
+        compute_dtype = jnp.dtype(jnp.float32)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, key, rgb_u8, depth_raw):
         rgb, depth = pipeline(key, rgb_u8, depth_raw)
 
         def loss_fn(params):
-            pred, new_stats = _apply_model(model, params, state.batch_stats, rgb, True)
+            # Mixed precision: master params/optimizer stay fp32; the forward
+            # (and thus backward matmuls/convs) run in compute_dtype (bf16 on
+            # the MXU). Norm layers are fp32 islands inside the modules; the
+            # loss itself is fp32.
+            cast_params = _cast_floating(params, compute_dtype)
+            pred, new_stats = _apply_model(
+                model, cast_params, state.batch_stats, rgb.astype(compute_dtype), True
+            )
+            pred = pred.astype(jnp.float32)
             total, parts = combined_loss(pred, depth, cfg, rgb=rgb)
             return total, (parts, new_stats)
 
