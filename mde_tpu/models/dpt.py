@@ -1,39 +1,64 @@
-"""DPT dense-prediction transformer depth models.
+"""DPT dense-prediction transformer depth models — full backbone matrix.
 
-Parity target: src/network/dpt_depth.py:155-293 with the pure-ViT backbones of
-the reference's hook table (dpt_depth.py:173-186): vitb16_384 taps blocks
-[2,5,8,11], vitl16_384 taps [5,11,17,23]. The reassembly follows
-backbones/utils.py:144-249 (make_backbone_default): per-tap readout (the
-"project" op: concat class token, Linear(2C->C)+GELU), unflatten to the patch
-grid, 1x1 projection to per-level channels, then 4x/2x/id/stride-2 resizes; a
-features=256 scratch + size-targeted fusion cascade; and the monocular head
-(conv->2x align-corners upsample->conv->ReLU->1x1->ReLU, dpt_depth.py:277-285).
+Parity target: src/network/dpt_depth.py:155-293 and its hook table
+(dpt_depth.py:173-186). Backbone families and their reassembly:
 
-The hybrid vitb_rn50_384 backbone (ResNetV2-50 stem + ViT) is registered in the
-hook table but not yet implemented — ``DPT_Hybrid`` raises with a clear message
-until it lands.
+- ViT   (vitb16_384, vitl16_384): raw token taps at the hook indices, per-tap
+  readout ("project": fold the class token via Linear(2C->C)+GELU —
+  backbones/utils.py:26-39), unflatten, 1x1 channel projection, then
+  4x/2x/id/stride-2 resizes (backbones/utils.py:144-249).
+- BEiT  (beitb16_384, beitl16_384, beitl16_512): same reassembly as ViT over
+  the BEiT trunk (relative-position-bias attention, backbones/beit.py).
+- Swin  (swinl12_384, swin2l24_384, swin2b24_384, swin2t16_256): hierarchical
+  stages are already a /4../32 pyramid; stage outputs feed the scratch convs
+  directly (backbones/swin_common.py:13-52 semantics).
+- LeViT (levit_384): 3-level pyramid at /16../64, number_layers=3, plus the
+  stem_b4_transpose 4x upsampling head stage (dpt_depth.py:219-222,261-262).
+
+The fusion cascade uses explicit size targeting exactly like the reference
+(dpt_depth.py:252-257). The hybrid vitb_rn50_384 (ResNetV2-50 + ViT) backbone
+remains unimplemented and raises with a clear message.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..nn.beit import BEIT_CONFIGS, BEiT
 from ..nn.blocks import Conv, ConvTranspose, FeatureFusionBlockCustom, ScratchConvs, interpolate
+from ..nn.levit import LeViT, StemB4Transpose
+from ..nn.swin import SwinBackbone, swin_stage_channels
 from ..nn.vit import VIT_CONFIGS, ViT
 
 DPT_BACKBONE_HOOKS = {
+    "beitl16_512": (5, 11, 17, 23),
+    "beitl16_384": (5, 11, 17, 23),
+    "beitb16_384": (2, 5, 8, 11),
+    "swin2l24_384": (1, 1, 17, 1),
+    "swin2b24_384": (1, 1, 17, 1),
+    "swin2t16_256": (1, 1, 5, 1),
+    "swinl12_384": (1, 1, 17, 1),
+    "levit_384": (3, 11, 21),
+    "vitb_rn50_384": (0, 1, 8, 11),  # hybrid — not yet implemented
     "vitb16_384": (2, 5, 8, 11),
     "vitl16_384": (5, 11, 17, 23),
-    "vitb_rn50_384": (0, 1, 8, 11),  # hybrid — not yet implemented
 }
 
 DPT_BACKBONE_CHANNELS = {
+    "beitl16_512": (256, 512, 1024, 1024),
+    "beitl16_384": (256, 512, 1024, 1024),
+    "beitb16_384": (96, 192, 384, 768),
+    "swin2l24_384": tuple(swin_stage_channels("swin2l24_384")),
+    "swin2b24_384": tuple(swin_stage_channels("swin2b24_384")),
+    "swin2t16_256": tuple(swin_stage_channels("swin2t16_256")),
+    "swinl12_384": tuple(swin_stage_channels("swinl12_384")),
+    "levit_384": (384, 512, 768),
+    "vitb_rn50_384": (256, 512, 768, 768),
     "vitb16_384": (96, 192, 384, 768),
     "vitl16_384": (256, 512, 1024, 1024),
-    "vitb_rn50_384": (256, 512, 768, 768),
 }
 
 
@@ -57,23 +82,20 @@ class DPT(nn.Module):
     head_out_1: bool = True  # False => stop at 32-ch features
     axis_name: Optional[str] = None
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        if self.backbone not in ("vitb16_384", "vitl16_384"):
-            raise NotImplementedError(
-                f"DPT backbone {self.backbone!r} (hybrid/others) is not implemented yet; "
-                "use vitb16_384 or vitl16_384"
-            )
-        dim, _, _, patch = VIT_CONFIGS[self.backbone]
+    def _token_levels(self, x, train):
+        """ViT/BEiT path: tokens -> readout -> unflatten -> project -> resize."""
         hooks = DPT_BACKBONE_HOOKS[self.backbone]
         out_channels = DPT_BACKBONE_CHANNELS[self.backbone]
+        if self.backbone.startswith("beit"):
+            dim, _, _, patch, _ = BEIT_CONFIGS[self.backbone]
+            taps = BEiT(self.backbone, name="pretrained")(x, out_indices=hooks, train=train)
+        else:
+            dim, _, _, patch = VIT_CONFIGS[self.backbone]
+            taps = ViT(self.backbone, pos_grid=(24, 24), name="pretrained")(
+                x, out_indices=hooks, train=train, raw_taps=True
+            )
         b, h, w, _ = x.shape
         ph, pw = h // patch, w // patch
-
-        taps = ViT(self.backbone, pos_grid=(24, 24), name="pretrained")(
-            x, out_indices=hooks, train=train, raw_taps=True
-        )
-
         levels = []
         for i, tokens in enumerate(taps):
             if self.readout == "project":
@@ -89,25 +111,57 @@ class DPT(nn.Module):
             elif i == 3:
                 grid = Conv(out_channels[3], 3, 2, 1, name="resize_3")(grid)
             levels.append(grid)
+        return levels
 
-        l1, l2, l3, l4 = ScratchConvs(self.features, expand=False, name="scratch")(levels)
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        bb = self.backbone
+        if bb not in DPT_BACKBONE_HOOKS or bb == "vitb_rn50_384":
+            raise NotImplementedError(
+                f"DPT backbone {bb!r} is not implemented (hybrid vitb_rn50_384 pending); "
+                f"available: {sorted(set(DPT_BACKBONE_HOOKS) - {'vitb_rn50_384'})}"
+            )
+
+        stem_transpose = None
+        if bb.startswith("swin"):
+            levels = list(SwinBackbone(bb, name="pretrained")(x, train=train))
+        elif bb == "levit_384":
+            levels = list(LeViT(axis_name=self.axis_name, name="pretrained")(x, train=train))
+            stem_transpose = StemB4Transpose(
+                self.features // 2, train, self.axis_name, name="stem_transpose"
+            )
+        else:
+            levels = self._token_levels(x, train)
+
+        rn = ScratchConvs(self.features, expand=False, name="scratch")(levels)
         common = dict(expand=False, align_corners=True, train=train, axis_name=self.axis_name)
-        path_4 = FeatureFusionBlockCustom(self.features, name="refinenet4", **common)(
-            l4, size=l3.shape[1:3]
-        )
-        path_3 = FeatureFusionBlockCustom(self.features, name="refinenet3", **common)(
-            path_4, l3, size=l2.shape[1:3]
-        )
+
+        if len(rn) == 3:
+            l1, l2, l3 = rn
+            path_3 = FeatureFusionBlockCustom(self.features, name="refinenet3", **common)(
+                l3, size=l2.shape[1:3]
+            )
+        else:
+            l1, l2, l3, l4 = rn
+            path_4 = FeatureFusionBlockCustom(self.features, name="refinenet4", **common)(
+                l4, size=l3.shape[1:3]
+            )
+            path_3 = FeatureFusionBlockCustom(self.features, name="refinenet3", **common)(
+                path_4, l3, size=l2.shape[1:3]
+            )
         path_2 = FeatureFusionBlockCustom(self.features, name="refinenet2", **common)(
             path_3, l2, size=l1.shape[1:3]
         )
         path_1 = FeatureFusionBlockCustom(self.features, name="refinenet1", **common)(
             path_2, l1
         )
+        if stem_transpose is not None:
+            path_1 = stem_transpose(path_1)
 
         # Monocular head (dpt_depth.py:277-285); its Interpolate uses
         # align_corners=True, unlike the MiDaS-small head.
-        hft = Conv(self.features // 2, 3, 1, 1, name="head_conv0")(path_1)
+        head_in = path_1.shape[-1]
+        hft = Conv(head_in // 2, 3, 1, 1, name="head_conv0")(path_1)
         hft = interpolate(hft, scale_factor=2, align_corners=True)
         hft = Conv(32, 3, 1, 1, name="head_conv2")(hft)
         hft = nn.relu(hft)

@@ -16,19 +16,23 @@ from typing import Callable, Optional
 from .efficientnet import EfficientNetLite, lite_stage_channels
 from .resnext import ResNetBackbone
 
-# name -> (channel table for _make_scratch, builder or None)
+# name -> (channel table for _make_scratch, builder | "vit" | "dpt" | None)
+# "vit"/"dpt" markers: token/hierarchical backbones consumed through
+# models.dpt's reassembly rather than the 4-feature-map interface.
 ENCODER_REGISTRY: dict[str, tuple[list[int], Optional[Callable]]] = {
-    "beitl16_512": ([256, 512, 1024, 1024], None),
-    "beitl16_384": ([256, 512, 1024, 1024], None),
-    "beitb16_384": ([96, 192, 384, 768], None),
-    "swin2l24_384": ([192, 384, 768, 1536], None),
-    "swin2b24_384": ([128, 256, 512, 1024], None),
-    "swin2t16_256": ([96, 192, 384, 768], None),
-    "swinl12_384": ([192, 384, 768, 1536], None),
+    "beitl16_512": ([256, 512, 1024, 1024], "dpt"),
+    "beitl16_384": ([256, 512, 1024, 1024], "dpt"),
+    "beitb16_384": ([96, 192, 384, 768], "dpt"),
+    "swin2l24_384": ([192, 384, 768, 1536], "dpt"),
+    "swin2b24_384": ([128, 256, 512, 1024], "dpt"),
+    "swin2t16_256": ([96, 192, 384, 768], "dpt"),
+    "swinl12_384": ([192, 384, 768, 1536], "dpt"),
+    # The reference's own next_vit import is broken (backbones/next_vit.py:8
+    # imports an absent external/ dir — SURVEY.md §7.5); registered, pending.
     "next_vit_large_6m": ([96, 256, 512, 1024], None),
-    "levit_384": ([384, 512, 768], None),
+    "levit_384": ([384, 512, 768], "dpt"),
     "vitl16_384": ([256, 512, 1024, 1024], "vit"),
-    "vitb_rn50_384": ([256, 512, 768, 768], None),
+    "vitb_rn50_384": ([256, 512, 768, 768], None),  # hybrid pending
     "vitb16_384": ([96, 192, 384, 768], "vit"),
     "resnext101_wsl": ([256, 512, 1024, 2048], lambda axis_name=None: ResNetBackbone(axis_name=axis_name)),
 }
@@ -55,10 +59,14 @@ def make_encoder(backbone: str, axis_name: Optional[str] = None):
     if backbone not in ENCODER_REGISTRY:
         raise ValueError(f"Backbone {backbone!r} not in registry")
     _, builder = ENCODER_REGISTRY[backbone]
-    if builder is None or builder == "vit":
+    if builder in ("vit", "dpt"):
         raise NotImplementedError(
-            f"Backbone {backbone!r} is registered but its implementation has not "
-            "landed yet (implemented: efficientnet_lite*, resnext101_wsl; "
-            "vitb16_384/vitl16_384 via models.dpt)"
+            f"Backbone {backbone!r} is a token/hierarchical backbone consumed "
+            "through models.dpt.DPTDepthModel, not the 4-feature-map interface"
+        )
+    if builder is None:
+        raise NotImplementedError(
+            f"Backbone {backbone!r} is registered but pending "
+            "(next_vit: the reference's own import is broken; vitb_rn50: hybrid)"
         )
     return builder(axis_name=axis_name)
