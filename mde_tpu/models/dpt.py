@@ -28,6 +28,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..nn.beit import BEIT_CONFIGS, BEiT
+from ..nn.resnetv2 import ResNetV2Stem
 from ..nn.blocks import Conv, ConvTranspose, FeatureFusionBlockCustom, ScratchConvs, interpolate
 from ..nn.levit import LeViT, StemB4Transpose
 from ..nn.swin import SwinBackbone, swin_stage_channels
@@ -113,17 +114,67 @@ class DPT(nn.Module):
             levels.append(grid)
         return levels
 
+    def _hybrid_levels(self, x, train):
+        """vitb_rn50_384: ResNetV2 stages 1-2 as levels 1-2; ViT-B blocks over a
+        1x1 patch embedding of the /16 stage, tapped at blocks [8, 11]
+        (backbones/vit.py:120-205)."""
+        from ..nn.vit import Block
+        from .dpt import ProjectReadout  # self-import safe at call time
+
+        dim = 768
+        hooks = DPT_BACKBONE_HOOKS["vitb_rn50_384"][2:]  # (8, 11)
+        out_channels = DPT_BACKBONE_CHANNELS["vitb_rn50_384"]
+        s1, s2, final = ResNetV2Stem(name="pretrained_resnet")(x)
+        b, gh, gw, _ = final.shape
+        tokens = nn.Conv(dim, (1, 1), padding="VALID", name="patch_embed")(final)
+        tokens = tokens.reshape(b, gh * gw, dim)
+        cls = self.param("cls_token", nn.initializers.truncated_normal(0.02), (1, 1, dim))
+        pos_grid = (24, 24)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, pos_grid[0] * pos_grid[1] + 1, dim),
+        )
+        cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
+        if (gh, gw) != pos_grid:
+            from ..ops.resize import resize_bilinear
+
+            grid = patch_pos.reshape(1, *pos_grid, dim)
+            patch_pos = resize_bilinear(grid, (gh, gw), align_corners=False).reshape(
+                1, gh * gw, dim
+            )
+        tokens = tokens + patch_pos
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls + cls_pos, (b, 1, dim)), tokens], axis=1
+        )
+        taps = []
+        for i in range(12):
+            tokens = Block(dim, 12, name=f"blocks_{i}")(tokens)
+            if i in hooks:
+                taps.append(tokens)
+        levels = [s1, s2]
+        for j, t in enumerate(taps):
+            t = ProjectReadout(dim, name=f"readout_{j + 2}")(t)
+            grid = t.reshape(b, gh, gw, dim)
+            grid = Conv(out_channels[j + 2], 1, name=f"act_postprocess_{j + 2}")(grid)
+            if j == 1:
+                grid = Conv(out_channels[3], 3, 2, 1, name="resize_3")(grid)
+            levels.append(grid)
+        return levels
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         bb = self.backbone
-        if bb not in DPT_BACKBONE_HOOKS or bb == "vitb_rn50_384":
+        if bb not in DPT_BACKBONE_HOOKS:
             raise NotImplementedError(
-                f"DPT backbone {bb!r} is not implemented (hybrid vitb_rn50_384 pending); "
-                f"available: {sorted(set(DPT_BACKBONE_HOOKS) - {'vitb_rn50_384'})}"
+                f"DPT backbone {bb!r} is not implemented; "
+                f"available: {sorted(DPT_BACKBONE_HOOKS)}"
             )
 
         stem_transpose = None
-        if bb.startswith("swin"):
+        if bb == "vitb_rn50_384":
+            levels = self._hybrid_levels(x, train)
+        elif bb.startswith("swin"):
             levels = list(SwinBackbone(bb, name="pretrained")(x, train=train))
         elif bb == "levit_384":
             levels = list(LeViT(axis_name=self.axis_name, name="pretrained")(x, train=train))

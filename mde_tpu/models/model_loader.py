@@ -31,7 +31,7 @@ DEFAULT_MODELS = {
     "dpt_next_vit_large_384": (None, (384, 384), "dpt"),  # reference import is broken too
     "dpt_levit_224": (dict(backbone="levit_384", features=64, head_out_1=True), (224, 224), "levit"),
     "dpt_large_384": (dict(backbone="vitl16_384"), (384, 384), "dpt"),
-    "dpt_hybrid_384": (None, (384, 384), "dpt"),  # vitb_rn50 hybrid pending
+    "dpt_hybrid_384": (dict(backbone="vitb_rn50_384"), (384, 384), "dpt"),
     "midas_v21_384": ("midas", (384, 384), "default"),
     "midas_v21_small_256": ("midas_small", (256, 256), "small"),
     "openvino_midas_v21_small_256": (None, (256, 256), "small"),

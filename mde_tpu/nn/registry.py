@@ -32,7 +32,7 @@ ENCODER_REGISTRY: dict[str, tuple[list[int], Optional[Callable]]] = {
     "next_vit_large_6m": ([96, 256, 512, 1024], None),
     "levit_384": ([384, 512, 768], "dpt"),
     "vitl16_384": ([256, 512, 1024, 1024], "vit"),
-    "vitb_rn50_384": ([256, 512, 768, 768], None),  # hybrid pending
+    "vitb_rn50_384": ([256, 512, 768, 768], "dpt"),
     "vitb16_384": ([96, 192, 384, 768], "vit"),
     "resnext101_wsl": ([256, 512, 1024, 2048], lambda axis_name=None: ResNetBackbone(axis_name=axis_name)),
 }

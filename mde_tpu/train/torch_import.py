@@ -102,6 +102,91 @@ def map_simple_unet_key(key: str):
     return None
 
 
+# (layer index, sequential slot) -> encoder stage, per the Sequential slicing
+# of src/network/blocks.py:176-186 over gen-efficientnet's 7 block stages.
+_EFFNET_STAGE = {
+    (1, 3): 0, (1, 4): 1,
+    (2, 0): 2,
+    (3, 0): 3, (3, 1): 4,
+    (4, 0): 5, (4, 1): 6,
+}
+# torch gen-efficientnet submodule -> ours, for expand==1 DepthwiseSeparableConv
+# blocks (stage 0): their project conv is named conv_pw/bn2, ours conv_pwl/bn3.
+_DS_BLOCK_RENAME = {"conv_dw": "conv_dw", "bn1": "bn2", "conv_pw": "conv_pwl", "bn2": "bn3"}
+
+
+def map_midas_small_key(key: str):
+    """Reference MidasNet_small naming -> our module tree.
+
+    Covers the full checkpoint surface of midas_v21_small_256.pt /
+    best_model_*.pth for the non-semantics model: the stage-sliced
+    tf_efficientnet_lite3 encoder (pretrained.layer{1..4}.*), the scratch
+    reassemble convs, the four refinenet fusion blocks, and the output head
+    Sequential (indices 0/2/4 -> output_conv{0,2,4}).
+    """
+    m = re.match(r"pretrained\.layer1\.0\.weight$", key)
+    if m:
+        return ("params", ("pretrained", "conv_stem", "Conv_0", "kernel"), "conv")
+    m = re.match(r"pretrained\.layer1\.1\.(\w+)$", key)
+    if m:
+        coll, name, kind = _BN_MAP.get(m.group(1), (None, None, None))
+        if coll:
+            return (coll, ("pretrained", "bn1", "BatchNorm_0", name), kind)
+        return None
+
+    m = re.match(r"pretrained\.layer(\d)\.(\d)\.(\d+)\.(\w+)\.(\w+)$", key)
+    if m:
+        layer, slot, rep, sub, leaf = m.groups()
+        stage = _EFFNET_STAGE.get((int(layer), int(slot)))
+        if stage is None:
+            return None
+        if stage == 0:  # expand==1 DS block: renamed submodules
+            sub = _DS_BLOCK_RENAME.get(sub, sub)
+        block = f"blocks_{stage}_{rep}"
+        if sub.startswith("conv"):
+            if leaf != "weight":
+                return None
+            kind = "depthwise_conv" if sub == "conv_dw" else "conv"
+            return ("params", ("pretrained", block, sub, "Conv_0", "kernel"), kind)
+        coll, name, kind = _BN_MAP.get(leaf, (None, None, None))
+        if coll:
+            return (coll, ("pretrained", block, sub, "BatchNorm_0", name), kind)
+        return None
+
+    m = re.match(r"scratch\.layer(\d)_rn\.weight$", key)
+    if m:
+        return ("params", ("scratch", f"layer{m.group(1)}_rn", "Conv_0", "kernel"), "conv")
+
+    m = re.match(r"scratch\.refinenet(\d)\.resConfUnit(\d)\.conv(\d)\.(\w+)$", key)
+    if m:
+        rn, rcu, conv, leaf = m.groups()
+        if rn == "4" and rcu == "1":
+            # Dead weights: refinenet4 is called with a single input so its
+            # resConfUnit1 never runs (blocks.py:416-420 / forward :172); the
+            # torch state dict carries the params anyway. We don't instantiate
+            # unreachable modules, so these are intentionally dropped.
+            return None
+        path = (f"refinenet{rn}", f"resConfUnit{rcu}", f"conv{conv}", "Conv_0",
+                "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+
+    m = re.match(r"scratch\.refinenet(\d)\.out_conv\.(\w+)$", key)
+    if m:
+        rn, leaf = m.groups()
+        path = (f"refinenet{rn}", "out_conv", "Conv_0",
+                "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+
+    m = re.match(r"scratch\.output_conv\.(\d)\.(\w+)$", key)
+    if m:
+        idx, leaf = m.groups()
+        if idx not in ("0", "2", "4"):
+            return None
+        path = (f"output_conv{idx}", "Conv_0", "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    return None
+
+
 def import_state_dict(
     torch_sd: dict,
     params,
@@ -142,7 +227,7 @@ def import_state_dict(
 
 
 def import_torch_checkpoint(path: str, params, batch_stats, model_type: str = "U_Net"):
-    key_maps = {"U_Net": map_simple_unet_key}
+    key_maps = {"U_Net": map_simple_unet_key, "MiDaS_small": map_midas_small_key}
     if model_type not in key_maps:
         raise NotImplementedError(
             f"torch import map for {model_type!r} not implemented yet (have: {list(key_maps)})"
