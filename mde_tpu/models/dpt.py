@@ -15,9 +15,15 @@ Parity target: src/network/dpt_depth.py:155-293 and its hook table
 - LeViT (levit_384): 3-level pyramid at /16../64, number_layers=3, plus the
   stem_b4_transpose 4x upsampling head stage (dpt_depth.py:219-222,261-262).
 
+- Hybrid (vitb_rn50_384): ResNetV2-GN stages 1-2 as levels 1-2, ViT-B blocks
+  over a 1x1 patch embedding of the /16 stage, taps [8, 11]
+  (backbones/vit.py:120-205).
+- Next-ViT (next_vit_large_6m): hierarchical conv/transformer stages feed the
+  scratch directly (the reference's own integration is broken — SURVEY.md §7.5;
+  ours is implemented from the paper).
+
 The fusion cascade uses explicit size targeting exactly like the reference
-(dpt_depth.py:252-257). The hybrid vitb_rn50_384 (ResNetV2-50 + ViT) backbone
-remains unimplemented and raises with a clear message.
+(dpt_depth.py:252-257).
 """
 
 from __future__ import annotations
@@ -31,10 +37,12 @@ from ..nn.beit import BEIT_CONFIGS, BEiT
 from ..nn.resnetv2 import ResNetV2Stem
 from ..nn.blocks import Conv, ConvTranspose, FeatureFusionBlockCustom, ScratchConvs, interpolate
 from ..nn.levit import LeViT, StemB4Transpose
+from ..nn.next_vit import NextViT
 from ..nn.swin import SwinBackbone, swin_stage_channels
 from ..nn.vit import VIT_CONFIGS, ViT
 
 DPT_BACKBONE_HOOKS = {
+    "next_vit_large_6m": (2, 6, 36, 39),
     "beitl16_512": (5, 11, 17, 23),
     "beitl16_384": (5, 11, 17, 23),
     "beitb16_384": (2, 5, 8, 11),
@@ -43,12 +51,13 @@ DPT_BACKBONE_HOOKS = {
     "swin2t16_256": (1, 1, 5, 1),
     "swinl12_384": (1, 1, 17, 1),
     "levit_384": (3, 11, 21),
-    "vitb_rn50_384": (0, 1, 8, 11),  # hybrid — not yet implemented
+    "vitb_rn50_384": (0, 1, 8, 11),  # hybrid: resnet stages + vit blocks
     "vitb16_384": (2, 5, 8, 11),
     "vitl16_384": (5, 11, 17, 23),
 }
 
 DPT_BACKBONE_CHANNELS = {
+    "next_vit_large_6m": (96, 256, 512, 1024),
     "beitl16_512": (256, 512, 1024, 1024),
     "beitl16_384": (256, 512, 1024, 1024),
     "beitb16_384": (96, 192, 384, 768),
@@ -176,6 +185,8 @@ class DPT(nn.Module):
             levels = self._hybrid_levels(x, train)
         elif bb.startswith("swin"):
             levels = list(SwinBackbone(bb, name="pretrained")(x, train=train))
+        elif bb == "next_vit_large_6m":
+            levels = list(NextViT(axis_name=self.axis_name, name="pretrained")(x, train=train))
         elif bb == "levit_384":
             levels = list(LeViT(axis_name=self.axis_name, name="pretrained")(x, train=train))
             stem_transpose = StemB4Transpose(

@@ -113,6 +113,43 @@ class AttractorLayerUnnormed(nn.Module):
         return b_new, b_new
 
 
+class LinearSplitter(nn.Module):
+    """Split each bin into ``split_factor`` fractional sub-bins
+    (localbins_layers.py:121-169; defined by the reference but unused in its
+    live path — provided for API completeness)."""
+
+    prev_nbins: int
+    split_factor: int = 2
+    mlp_dim: int = 128
+    min_depth: float = 1e-3
+    max_depth: float = 10.0
+
+    @nn.compact
+    def __call__(self, x, b_prev, prev_b_embedding=None):
+        if prev_b_embedding is not None:
+            prev_b_embedding = resize_bilinear(
+                prev_b_embedding, x.shape[1:3], align_corners=True
+            )
+            x = x + prev_b_embedding
+        h = nn.gelu(Conv(self.mlp_dim, 1, name="net0")(x), approximate=False)
+        S = nn.relu(Conv(self.prev_nbins * self.split_factor, 1, name="net2")(h)) + 1e-3
+        b_, hh, ww, _ = S.shape
+        S = S.reshape(b_, hh, ww, self.prev_nbins, self.split_factor)
+        S_normed = S / jnp.sum(S, axis=-1, keepdims=True)
+
+        b_prev = resize_bilinear(b_prev, (hh, ww), align_corners=True)
+        b_prev = b_prev / jnp.sum(b_prev, axis=-1, keepdims=True)
+        b = (b_prev[..., None] * S_normed).reshape(b_, hh, ww, -1)
+
+        widths = (self.max_depth - self.min_depth) * b
+        widths = jnp.pad(
+            widths, ((0, 0), (0, 0), (0, 0), (1, 0)), constant_values=self.min_depth
+        )
+        edges = jnp.cumsum(widths, axis=-1)
+        centers = 0.5 * (edges[..., :-1] + edges[..., 1:])
+        return b, centers
+
+
 def log_binom(n, k, eps: float = 1e-7):
     """log(nCk) via Stirling (localbins_layers.py:272-276)."""
     n = n + eps

@@ -28,7 +28,7 @@ DEFAULT_MODELS = {
     "dpt_swin2_base_384": (dict(backbone="swin2b24_384"), (384, 384), "swin384"),
     "dpt_swin2_tiny_256": (dict(backbone="swin2t16_256"), (256, 256), "swin256"),
     "dpt_swin_large_384": (dict(backbone="swinl12_384"), (384, 384), "swin384"),
-    "dpt_next_vit_large_384": (None, (384, 384), "dpt"),  # reference import is broken too
+    "dpt_next_vit_large_384": (dict(backbone="next_vit_large_6m"), (384, 384), "dpt"),
     "dpt_levit_224": (dict(backbone="levit_384", features=64, head_out_1=True), (224, 224), "levit"),
     "dpt_large_384": (dict(backbone="vitl16_384"), (384, 384), "dpt"),
     "dpt_hybrid_384": (dict(backbone="vitb_rn50_384"), (384, 384), "dpt"),
@@ -56,7 +56,7 @@ def load_model(
     if spec is None:
         raise NotImplementedError(
             f"{model_type!r} is registered but unsupported "
-            "(openvino backend / hybrid+next_vit backbones pending)"
+            "(openvino is an inference-engine-specific backend)"
         )
     if spec == "midas":
         model = MidasNet(axis_name=axis_name)

@@ -28,8 +28,9 @@ ENCODER_REGISTRY: dict[str, tuple[list[int], Optional[Callable]]] = {
     "swin2t16_256": ([96, 192, 384, 768], "dpt"),
     "swinl12_384": ([192, 384, 768, 1536], "dpt"),
     # The reference's own next_vit import is broken (backbones/next_vit.py:8
-    # imports an absent external/ dir — SURVEY.md §7.5); registered, pending.
-    "next_vit_large_6m": ([96, 256, 512, 1024], None),
+    # imports an absent external/ dir — SURVEY.md §7.5); ours is implemented
+    # from the paper and consumed through models.dpt.
+    "next_vit_large_6m": ([96, 256, 512, 1024], "dpt"),
     "levit_384": ([384, 512, 768], "dpt"),
     "vitl16_384": ([256, 512, 1024, 1024], "vit"),
     "vitb_rn50_384": ([256, 512, 768, 768], "dpt"),
@@ -63,10 +64,5 @@ def make_encoder(backbone: str, axis_name: Optional[str] = None):
         raise NotImplementedError(
             f"Backbone {backbone!r} is a token/hierarchical backbone consumed "
             "through models.dpt.DPTDepthModel, not the 4-feature-map interface"
-        )
-    if builder is None:
-        raise NotImplementedError(
-            f"Backbone {backbone!r} is registered but pending "
-            "(next_vit: the reference's own import is broken; vitb_rn50: hybrid)"
         )
     return builder(axis_name=axis_name)

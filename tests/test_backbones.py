@@ -73,9 +73,7 @@ def test_registry_covers_reference_dispatch():
     make_encoder("efficientnet_lite3")
     make_encoder("resnext101_wsl")
     with pytest.raises(NotImplementedError):
-        make_encoder("swinl12_384")
-    with pytest.raises(NotImplementedError):
-        make_encoder("next_vit_large_6m")
+        make_encoder("swinl12_384")  # token/hierarchical: route through DPT
 
 
 def test_hook_table_matches_reference():
