@@ -66,7 +66,9 @@ def main():
 
     platform = jax.devices()[0].platform
     n_dev = len(jax.devices())
-    candidates = [32, 16, 8, 4] if platform != "cpu" else [4]
+    # bs32 consistently fails in the remote tpu_compile_helper (HTTP 500 —
+    # tunnel-side compiler limit, not device OOM); don't burn 4 min on it.
+    candidates = [16, 8, 4] if platform != "cpu" else [4]
     results = {}
     for b in candidates:
         try:

@@ -210,6 +210,9 @@ def defaults() -> ConfigNode:
                 "mesh": {"data": -1, "model": 1},  # -1 => all remaining devices
                 "prefetch_depth": 2,
                 "drop_last": True,
+                # Keep decoded uint8/f32 samples in host RAM after epoch 1
+                # (full CIL train set ~17 GB; skips PNG decode thereafter).
+                "cache_dataset": False,
                 "sync_batchnorm": True,
             },
         }

@@ -31,6 +31,7 @@ class HostLoader:
         num_workers: int = 4,
         seed: int = 0,
         prefetch_depth: int = 2,
+        cache: bool = False,
     ):
         self.dataset = dataset
         self.indices = np.asarray(indices if indices is not None else np.arange(len(dataset)))
@@ -41,6 +42,12 @@ class HostLoader:
         self.prefetch_depth = prefetch_depth
         self._rng = np.random.default_rng(seed)
         self._native_hw = "unprobed"
+        # Optional in-RAM decode cache: the full CIL train set is ~17 GB of
+        # raw uint8+f32 (24k x 426x560), far below typical host RAM; epochs
+        # after the first skip PNG/NPY decode entirely.
+        self.cache = cache
+        self._cache: dict[int, tuple] = {}
+        self._cache_lock = threading.Lock()
 
     def __len__(self) -> int:
         n = len(self.indices)
@@ -80,6 +87,14 @@ class HostLoader:
 
     def _assemble(self, idxs: np.ndarray) -> dict:
         names = [self.dataset.entries[int(i)] for i in idxs]
+        if self.cache:
+            with self._cache_lock:
+                cached = [self._cache.get(int(i)) for i in idxs]
+            if all(c is not None for c in cached):
+                batch = {"rgb": np.stack([c[0] for c in cached]), "names": names}
+                if self.dataset.has_gt:
+                    batch["depth"] = np.stack([c[1] for c in cached])
+                return batch
         hw = self._native_size()
         if hw is not None:
             from . import native
@@ -96,6 +111,7 @@ class HostLoader:
                 batch = {"rgb": rgb, "names": names}
                 if depth is not None:
                     batch["depth"] = depth
+                self._store_cache(idxs, batch)
                 return batch
             except IOError:
                 pass  # odd-sized or unsupported file: fall through to PIL
@@ -107,7 +123,19 @@ class HostLoader:
         batch = {"rgb": np.stack(rgbs), "names": names}
         if self.dataset.has_gt:
             batch["depth"] = np.stack(depths)
+        self._store_cache(idxs, batch)
         return batch
+
+    def _store_cache(self, idxs, batch) -> None:
+        if not self.cache:
+            return
+        with self._cache_lock:
+            for pos, i in enumerate(idxs):
+                if int(i) not in self._cache:
+                    self._cache[int(i)] = (
+                        batch["rgb"][pos],
+                        batch["depth"][pos] if "depth" in batch else None,
+                    )
 
     def __iter__(self) -> Iterator[dict]:
         batches = self._batch_indices()

@@ -56,13 +56,14 @@ def build_loaders(cfg, paths, train: bool = True):
     if train:
         full = DepthDataset(paths["train_dir"], paths["train_list"], has_gt=True)
         tr_idx, va_idx = split_train_val(len(full), fw.val_fraction, seed=fw.seed)
+        cache = bool(fw.get("cache_dataset", False))
         loaders["train"] = HostLoader(
             full, tr_idx, bs, shuffle=True, drop_last=bool(fw.drop_last),
             num_workers=int(fw.num_workers), seed=fw.seed,
-            prefetch_depth=int(fw.prefetch_depth),
+            prefetch_depth=int(fw.prefetch_depth), cache=cache,
         )
         loaders["val"] = HostLoader(
-            full, va_idx, bs, shuffle=False, num_workers=int(fw.num_workers)
+            full, va_idx, bs, shuffle=False, num_workers=int(fw.num_workers), cache=cache
         )
     if os.path.exists(paths["test_list"]):
         test_ds = DepthDataset(paths["test_dir"], paths["test_list"], has_gt=False)

@@ -122,3 +122,22 @@ def test_hsv_roundtrip(rng):
     x = jnp.asarray(rng.uniform(0, 1, (64, 3)).astype(np.float32))
     back = _hsv_to_rgb(_rgb_to_hsv(x))
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+def test_loader_cache(fixture_dir):
+    ds = DepthDataset(fixture_dir + "/train", fixture_dir + "/train_list.txt")
+    loader = HostLoader(ds, batch_size=5, num_workers=2, cache=True)
+    first = [b["rgb"].copy() for b in loader]
+    assert len(loader._cache) == 10  # all samples cached after epoch 1
+    second = [b["rgb"] for b in loader]
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_utils():
+    from mde_tpu.utils import count_params, ensure_dir, remove_module_prefix
+
+    assert remove_module_prefix({"module.a.b": 1, "c": 2}) == {"a.b": 1, "c": 2}
+    import jax.numpy as jnp
+
+    assert count_params({"w": jnp.zeros((2, 3)), "b": jnp.zeros((3,))}) == 9
