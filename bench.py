@@ -61,6 +61,33 @@ def measure(batch: int, size=(448, 576), warmup=2, steps=10):
     return batch / dt, dt
 
 
+def measure_infer(batch: int, size=(448, 576), warmup=2, steps=20):
+    """Forward-only (predict-path) throughput: preprocess + forward + resize to
+    the native 426x560 submission size, as generate_test_predictions runs it."""
+    import jax
+    import jax.numpy as jnp
+
+    from mde_tpu.core import config as config_lib
+    from mde_tpu.models import build_model
+    from mde_tpu.train import create_train_state, make_predict_step
+
+    cfg = config_lib.defaults()
+    cfg.framework.input_size = list(size)
+    model = build_model(cfg.model)
+    state = create_train_state(model, jax.random.key(0), jnp.zeros((1, *size, 3), jnp.float32), cfg)
+    step = make_predict_step(model, cfg)
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.integers(0, 255, (batch, *size, 3)).astype(np.uint8))
+    for _ in range(warmup):
+        out = step(state, rgb)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = step(state, rgb)
+    jax.block_until_ready(out)
+    return batch / ((time.perf_counter() - t0) / steps)
+
+
 def main():
     import jax
 
@@ -86,6 +113,12 @@ def main():
     best_b = max(ok, key=lambda b: ok[b][0])
     best_ips = ok[best_b][0]
 
+    try:
+        infer_ips = measure_infer(best_b)
+    except Exception as e:
+        print(f"# infer bench failed: {type(e).__name__}", flush=True)
+        infer_ips = None
+
     baseline_path = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline_cpu.json")
     vs = None
     baseline_ips = None
@@ -105,6 +138,7 @@ def main():
         "best_batch": best_b,
         "sec_per_step": round(ok[best_b][1], 4),
         "per_batch": {str(b): (round(r[0], 3) if r else None) for b, r in results.items()},
+        "infer_images_per_sec": round(infer_ips, 3) if infer_ips else None,
         "baseline_cpu_images_per_sec": baseline_ips,
     }
     print(json.dumps(record))
