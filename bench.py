@@ -52,11 +52,14 @@ def measure(batch: int, size=(448, 576), warmup=2, steps=10):
 
     for i in range(warmup):
         state, metrics = step(state, jax.random.fold_in(key, i), data["rgb"], data["depth"])
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     t0 = time.perf_counter()
     for i in range(steps):
         state, metrics = step(state, jax.random.fold_in(key, 100 + i), data["rgb"], data["depth"])
-    jax.block_until_ready(metrics["loss"])
+    # device_get (not block_until_ready): forces a real host round-trip of a
+    # value that depends on every step in the chain — robust against async
+    # runtimes under-reporting completion.
+    float(jax.device_get(metrics["loss"]))
     dt = (time.perf_counter() - t0) / steps
     return batch / dt, dt
 
@@ -80,11 +83,13 @@ def measure_infer(batch: int, size=(448, 576), warmup=2, steps=20):
     rgb = jnp.asarray(rng.integers(0, 255, (batch, *size, 3)).astype(np.uint8))
     for _ in range(warmup):
         out = step(state, rgb)
-    jax.block_until_ready(out)
+    _ = np.asarray(jax.device_get(out[0, 0, 0]))
     t0 = time.perf_counter()
     for _ in range(steps):
         out = step(state, rgb)
-    jax.block_until_ready(out)
+    # steps are independent but execute serially on the device; the final
+    # device_get bounds the whole window.
+    _ = np.asarray(jax.device_get(out[0, 0, 0]))
     return batch / ((time.perf_counter() - t0) / steps)
 
 

@@ -201,12 +201,13 @@ def defaults() -> ConfigNode:
                 "eval_n_samples": 1000,     # src/evaluation.py:20
                 "eval_base_thres": 1.05,    # src/evaluation.py:28
                 "eval_n_delta": 3,          # src/evaluation.py:27
-                # Forward/backward compute precision. float32 measured FASTER
-                # than bfloat16 for the flagship on v5e (549 vs 114 img/s at
-                # bs8; XLA's f32 convs already use bf16x3 MXU passes, and the
-                # bf16 path currently hits a layout pathology — see
-                # train/profiling.py for the investigation tooling).
-                "compute_dtype": "float32",
+                # Forward/backward compute precision. bfloat16 is MXU-native;
+                # a controlled same-session A/B on v5e (flagship, bs8) measured
+                # train 189 ms/step bf16 vs 370 ms fp32 and fwd 61 vs 70 ms.
+                # (Earlier sweeps disagreed wildly — the tunneled device's
+                # throughput drifts between sessions; see train/profiling.py
+                # for the measurement tooling.) CPU tests always run fp32.
+                "compute_dtype": "bfloat16",
                 "mesh": {"data": -1, "model": 1},  # -1 => all remaining devices
                 "prefetch_depth": 2,
                 "drop_last": True,
