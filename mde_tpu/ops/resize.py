@@ -11,13 +11,21 @@ pervasively, in both corner conventions:
 
 ``jax.image.resize`` implements neither convention exactly (it uses scale-and-
 translate sampling with antialiasing semantics of its own), so metric parity with
-the reference requires a custom implementation. Bilinear resampling is separable
-and linear, so we build the (out x in) interpolation matrix per axis (each row has
-at most two nonzeros) and apply it as two dense matmuls. On TPU this maps straight
-onto the MXU, is exactly differentiable (transpose matmuls in the VJP), and lets
-XLA fuse neighbouring elementwise work — a gather-based implementation would run on
-the VPU with strided HBM traffic instead. The matrices are built with numpy at
-trace time (shapes are static under jit) and cached.
+the reference requires a custom implementation. Bilinear resampling is separable,
+so each spatial axis is interpolated independently with one of two lowering
+strategies chosen by size:
+
+- small axes (<= 64): a dense (out x in) interpolation matrix applied as a
+  matmul at precision='highest' — rides the MXU, exact fp32;
+- large axes: two row-gathers + a lerp with the same fp32 tap weights. The
+  dense form is O(out*in) FLOPs, which at decoder resolutions (e.g. a 2x
+  upsample of a 224x288x64 feature map) costs hundreds of GFLOPs per call;
+  the gather form is O(out) memory traffic on the VPU.
+
+Both forms are exactly differentiable (transpose-matmul / scatter-add VJPs) and
+numerically identical up to fp32 rounding of ``a*(1-f)+b*f`` vs ``a+(b-a)*f``.
+Tap indices/weights are built with numpy at trace time (static shapes) and
+cached; coordinates are computed in float32 exactly as PyTorch does.
 """
 
 from __future__ import annotations
@@ -28,16 +36,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.lru_cache(maxsize=256)
-def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
-    """Dense (out_size, in_size) bilinear interpolation matrix, float32.
+@functools.lru_cache(maxsize=512)
+def _interp_taps(in_size: int, out_size: int, align_corners: bool):
+    """(i0, i1, frac) gather taps for one axis, PyTorch coordinate conventions.
 
-    align_corners=True:  src = o * (in-1)/(out-1)            (PyTorch convention)
+    align_corners=True:  src = o * (in-1)/(out-1)
     align_corners=False: src = max(0, (o+0.5) * in/out - 0.5) (half-pixel, clamped)
+
+    PyTorch computes source coordinates in float32 (area_pixel_compute_scale /
+    _source_index use float accumulation); match that for bit-level parity.
     """
-    w = np.zeros((out_size, in_size), dtype=np.float32)
-    # PyTorch computes source coordinates in float32 (area_pixel_compute_scale /
-    # _source_index use float accumulation); match that for bit-level parity.
     o = np.arange(out_size, dtype=np.float32)
     if align_corners:
         scale = np.float32(in_size - 1) / np.float32(max(out_size - 1, 1))
@@ -49,9 +57,41 @@ def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarr
     i0 = np.clip(i0, 0, in_size - 1)
     i1 = np.minimum(i0 + 1, in_size - 1)
     frac = (src - i0).astype(np.float32)
+    return i0, i1, frac
+
+
+@functools.lru_cache(maxsize=256)
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """Dense (out_size, in_size) bilinear interpolation matrix, float32."""
+    i0, i1, frac = _interp_taps(in_size, out_size, align_corners)
+    w = np.zeros((out_size, in_size), dtype=np.float32)
     np.add.at(w, (np.arange(out_size), i0), 1.0 - frac)
     np.add.at(w, (np.arange(out_size), i1), frac)
     return w
+
+
+# Above this in_size the dense-matmul formulation's O(out*in) FLOPs exceed the
+# two-gather formulation's O(out) memory traffic by enough to matter; measured
+# crossover is well below 64 on v5e but small matrices also fold into fusions.
+_MATMUL_MAX_IN = 64
+
+
+def _resize_axis(x: jnp.ndarray, axis: int, out_size: int, align_corners: bool) -> jnp.ndarray:
+    """Interpolate one axis: tiny axes ride the MXU as a dense matmul (exact
+    fp32, precision=highest); large axes use two gathers + a lerp (identical
+    weights, ~data-sized HBM traffic instead of O(out*in) FLOPs)."""
+    in_size = x.shape[axis]
+    if in_size <= _MATMUL_MAX_IN:
+        w = jnp.asarray(_interp_matrix(in_size, out_size, align_corners))
+        y = jnp.tensordot(w, x, axes=((1,), (axis,)), precision="highest")
+        return jnp.moveaxis(y, 0, axis)
+    i0, i1, frac = _interp_taps(in_size, out_size, align_corners)
+    a = jnp.take(x, jnp.asarray(i0), axis=axis)
+    b = jnp.take(x, jnp.asarray(i1), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w1 = jnp.asarray(frac, dtype=x.dtype).reshape(shape)
+    return a + (b - a) * w1
 
 
 def resize_bilinear(
@@ -74,17 +114,15 @@ def resize_bilinear(
         return x
 
     dtype = x.dtype
+    # Interpolation itself in fp32: resize weights feed metric-parity-critical
+    # paths (depth targets, submission-size predictions), where bf16 rounding
+    # is not ok. The cast is free inside fusions for fp32 activations.
     compute = x.astype(jnp.float32) if dtype != jnp.float32 else x
-    # precision='highest' keeps the MXU in full-fp32 mode (3-pass bf16): resize
-    # weights feed metric-parity-critical paths, so bf16 rounding is not ok here.
+    # Same-size axes are exact identities in both conventions (src == o).
     if in_h != out_h:
-        wh = jnp.asarray(_interp_matrix(in_h, out_h, align_corners))
-        compute = jnp.tensordot(wh, compute, axes=((1,), (h_axis,)), precision="highest")
-        compute = jnp.moveaxis(compute, 0, h_axis)
+        compute = _resize_axis(compute, h_axis, out_h, align_corners)
     if in_w != out_w:
-        ww = jnp.asarray(_interp_matrix(in_w, out_w, align_corners))
-        compute = jnp.tensordot(ww, compute, axes=((1,), (w_axis,)), precision="highest")
-        compute = jnp.moveaxis(compute, 0, w_axis)
+        compute = _resize_axis(compute, w_axis, out_w, align_corners)
     return compute.astype(dtype)
 
 
