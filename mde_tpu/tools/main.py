@@ -16,7 +16,7 @@ import time
 
 import jax
 
-from ..train import ExperimentLogger, fit, generate_test_predictions
+from ..train import ExperimentLogger, evaluate_full_suite, fit, generate_test_predictions
 from ..parallel import make_training_mesh
 from .common import bootstrap_model, build_loaders, parse_config, resolve_paths
 
@@ -77,6 +77,18 @@ def main():
         start_epoch=start_epoch,
         seed=int(cfg.framework.seed),
     )
+
+    if bool(cfg.opt.get("evaluate_best_model", False)):
+        # The 7-metric validation evaluation + metrics file. The reference
+        # carries this flow commented out (src/main.py:692-704); here it works.
+        print("Evaluating model on validation set...")
+        metrics = evaluate_full_suite(model, cfg, state, loaders["val"], mesh=mesh)
+        print("\nValidation Metrics:")
+        for name, value in metrics.items():
+            print(f"{name}: {value:.4f}")
+        with open(os.path.join(paths["results_dir"], "validation_metrics.txt"), "w") as f:
+            for name, value in metrics.items():
+                f.write(f"{name}: {value:.4f}\n")
 
     if "test" in loaders:
         print("Generating predictions for test set...")

@@ -137,3 +137,20 @@ def test_visualize_tool(pipeline_env, monkeypatch):
     assert "000000_e2e_unet_pred.png" in figs
     assert "000000_e2e_unet_lmap.png" in figs
     assert len(figs) == 6
+
+
+def test_main_tool_evaluate_best_model(pipeline_env, monkeypatch):
+    root, cfg_path = pipeline_env
+    # Flip the opt flag on a copy of the config and retrain 1 epoch.
+    cfg2 = root / "config_eval.yaml"
+    cfg2.write_text(cfg_path.read_text() + "\nopt:\n  evaluate_best_model: true\n")
+    from mde_tpu.tools import main as main_tool
+
+    monkeypatch.chdir(root)
+    _run_tool(monkeypatch, main_tool.main, ["main.py", "--config", str(cfg2)])
+    metrics_file = root / "results" / "validation_metrics.txt"
+    assert metrics_file.exists()
+    lines = metrics_file.read_text().strip().splitlines()
+    assert [l.split(":")[0] for l in lines] == [
+        "MAE", "RMSE", "siRMSE", "REL", "Delta1", "Delta2", "Delta3",
+    ]
