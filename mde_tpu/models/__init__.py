@@ -4,6 +4,7 @@ from .midas_semantics import MidasNetSemantics, CrossAttention, ResidualBlock, D
 from .midas_net import MidasNet
 from .dpt import DPT, DPTDepthModel
 from .localbins import LocalBinsBlock
+from .depth_anything import DepthAnythingV2
 from .factory import build_model, init_model
 
 __all__ = [
@@ -19,6 +20,7 @@ __all__ = [
     "DPT",
     "DPTDepthModel",
     "LocalBinsBlock",
+    "DepthAnythingV2",
     "build_model",
     "init_model",
 ]

@@ -64,6 +64,12 @@ def build_model(model_cfg, axis_name: Optional[str] = None):
         return DPTDepthModel(backbone="vitl16_384", non_negative=True, axis_name=axis_name)
     if model_type == "U_Net":
         return SimpleUNet(axis_name=axis_name)
+    if model_type.startswith("DepthAnythingV2"):
+        # e.g. "DepthAnythingV2_vits" (stretch family, BASELINE.json config #5)
+        from .depth_anything import DepthAnythingV2
+
+        size = model_type.split("_")[-1] if "_" in model_type else "vits"
+        return DepthAnythingV2(size=size, axis_name=axis_name)
     raise ValueError(f"Unknown model_type: {model_type!r}")
 
 

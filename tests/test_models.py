@@ -129,3 +129,20 @@ def test_factory_dispatch():
     cfg.model.model_type = "nope"
     with pytest.raises(ValueError):
         build_model(cfg.model)
+
+
+def test_depth_anything_v2_small():
+    """Stretch family (BASELINE.json config #5): DINOv2-S trunk + DPT head;
+    param count must match the official DA-V2-S card (~24.8M)."""
+    from mde_tpu.models import DepthAnythingV2
+
+    m = DepthAnythingV2(size="vits")
+    x = jnp.zeros((1, 56, 84, 3), jnp.float32)
+    v = m.init(jax.random.key(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, 56, 84)
+    n = _n_params(v)
+    assert 23e6 < n < 26e6, f"param count {n/1e6:.1f}M off the DA-V2-S card"
+    cfg = config_lib.defaults()
+    cfg.model.model_type = "DepthAnythingV2_vits"
+    assert type(build_model(cfg.model)).__name__ == "DepthAnythingV2"
