@@ -154,3 +154,16 @@ def test_main_tool_evaluate_best_model(pipeline_env, monkeypatch):
     assert [l.split(":")[0] for l in lines] == [
         "MAE", "RMSE", "siRMSE", "REL", "Delta1", "Delta2", "Delta3",
     ]
+
+
+def test_visualize_sample_grid(tmp_path, rng):
+    """The 2x2-grid figure of src/visualize.py:41-101."""
+    from mde_tpu.tools.visualize import visualize_sample
+
+    rgb = rng.random((16, 24, 3)).astype(np.float32)
+    pred = rng.random((16, 24)).astype(np.float32)
+    gt = rng.random((16, 24)).astype(np.float32)
+    loss_map = rng.random((16, 24)).astype(np.float32)
+    out = tmp_path / "grid" / "sample.png"
+    visualize_sample(rgb, pred, gt, loss_map, save_path=str(out))
+    assert out.exists() and out.stat().st_size > 0
