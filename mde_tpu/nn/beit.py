@@ -20,7 +20,7 @@ src/network/dpt_depth.py:174-176).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -20,13 +20,13 @@ training starts from the same distribution family as the reference.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.resize import resize_bilinear, upsample2x
+from ..ops.resize import resize_bilinear
 
 
 def _kaiming_uniform(key, shape, dtype=jnp.float32):

@@ -22,7 +22,7 @@ src/network/backbones/utils.py:53-60).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax

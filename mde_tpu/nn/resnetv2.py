@@ -10,7 +10,7 @@ the ViT patch embedding (1x1 "patch 1" projection).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

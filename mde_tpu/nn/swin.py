@@ -20,7 +20,7 @@ windows are built statically per grid under jit.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

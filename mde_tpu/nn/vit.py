@@ -19,7 +19,6 @@ converted checkpoint can be imported when available.
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence
 
 import flax.linen as nn
