@@ -77,3 +77,25 @@ def test_normalize_u8_fused(rng):
     std = np.asarray([0.229, 0.224, 0.225], np.float32)
     want = (u8.astype(np.float32) / 255.0 - mean) / std
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_flash_attention_matches_reference(rng):
+    from mde_tpu.ops.flash_attention import attention_reference, flash_attention
+
+    b, n, h, d = 2, 321, 6, 64  # the DINOv2-S branch shape (320 patches + cls)
+    q, k, v = (rng.standard_normal((b, n, h, d)).astype(np.float32) for _ in range(3))
+    got = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    want = np.asarray(
+        attention_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_block_aligned(rng):
+    from mde_tpu.ops.flash_attention import attention_reference, flash_attention
+
+    b, n, h, d = 1, 256, 4, 64
+    q, k, v = (rng.standard_normal((b, n, h, d)).astype(np.float32) for _ in range(3))
+    got = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    want = np.asarray(attention_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
