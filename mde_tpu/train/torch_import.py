@@ -187,6 +187,23 @@ def map_midas_small_key(key: str):
     return None
 
 
+def map_midas_semantics_key(key: str):
+    """MidasNetSemantics: the MiDaS branch lives under the 'midas' submodule
+    (models/midas_semantics.py), and the head's final 1x1 (output_conv.4) is
+    removed (midas_semantics.py:159-163) — matching the reference's
+    shape-filtered bootstrap of midas_v21_small weights into the semantics
+    model (src/main.py:451-462). Non-midas reference keys (dinov2.*,
+    cross_attention.*, fusion/depth heads) are left unmapped here; they never
+    exist in MiDaS release checkpoints."""
+    if key.startswith("scratch.output_conv.4."):
+        return None  # removed by the head surgery
+    mapped = map_midas_small_key(key)
+    if mapped is None:
+        return None
+    coll, path, kind = mapped
+    return (coll, ("midas",) + path, kind)
+
+
 def import_state_dict(
     torch_sd: dict,
     params,
@@ -227,7 +244,11 @@ def import_state_dict(
 
 
 def import_torch_checkpoint(path: str, params, batch_stats, model_type: str = "U_Net"):
-    key_maps = {"U_Net": map_simple_unet_key, "MiDaS_small": map_midas_small_key}
+    key_maps = {
+        "U_Net": map_simple_unet_key,
+        "MiDaS_small": map_midas_small_key,
+        "MiDaS_semantics": map_midas_semantics_key,
+    }
     if model_type not in key_maps:
         raise NotImplementedError(
             f"torch import map for {model_type!r} not implemented yet (have: {list(key_maps)})"

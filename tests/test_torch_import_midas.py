@@ -118,3 +118,35 @@ def test_strict_false_merge_skips_mismatched_shapes():
     assert report["loaded"] == 1
     assert report["shape_mismatch"] == ["scratch.layer1_rn.weight"]
     assert report["unmapped"] == ["something.unknown"]
+
+
+def test_semantics_bootstrap_from_midas_small_checkpoint():
+    """The reference loads midas_v21_small weights into the semantics model
+    with shape-filtered strict=False merging (src/main.py:451-462): encoder +
+    decoder keys land under the midas branch, the removed head 1x1 is skipped."""
+    from mde_tpu.models import MidasNetSemantics
+    from mde_tpu.train.torch_import import import_state_dict, map_midas_semantics_key
+
+    model = MidasNetSemantics(dinov2_image_size=(28, 42))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 96, 3)), train=False)
+    flat_p = traverse_util.flatten_dict(dict(variables["params"]))
+
+    loaded, skipped_head, dead = 0, 0, 0
+    sd = {}
+    for tkey in reference_style_keys():
+        mapped = map_midas_semantics_key(tkey)
+        if tkey.startswith("scratch.output_conv.4."):
+            assert mapped is None  # head surgery removed this layer
+            skipped_head += 1
+            continue
+        if "refinenet4.resConfUnit1" in tkey:
+            assert mapped is None
+            dead += 1
+            continue
+        assert mapped is not None, tkey
+        coll, path, kind = mapped
+        assert path[0] == "midas"
+        if coll == "params":
+            assert path in flat_p, f"{tkey} -> {path}"
+            loaded += 1
+    assert skipped_head == 2 and dead == 4 and loaded > 100
