@@ -32,6 +32,7 @@ class HostLoader:
         seed: int = 0,
         prefetch_depth: int = 2,
         cache: bool = False,
+        use_native: bool = True,
     ):
         self.dataset = dataset
         self.indices = np.asarray(indices if indices is not None else np.arange(len(dataset)))
@@ -41,13 +42,18 @@ class HostLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch_depth = prefetch_depth
         self._rng = np.random.default_rng(seed)
-        self._native_hw = "unprobed"
         # Optional in-RAM decode cache: the full CIL train set is ~17 GB of
         # raw uint8+f32 (24k x 426x560), far below typical host RAM; epochs
         # after the first skip PNG/NPY decode entirely.
         self.cache = cache
         self._cache: dict[int, tuple] = {}
         self._cache_lock = threading.Lock()
+        # use_native: route whole-batch decode through native/depthio.cpp.
+        # benchmarks/data_pipeline_bench.py measures both paths; on a 1-core
+        # host libpng-backed PIL decodes ~25% faster than our scalar unfilter,
+        # while the native pool avoids per-sample Python object churn on
+        # multi-core hosts. The cache (above) dominates both after epoch 1.
+        self._native_hw = "unprobed" if use_native else None
 
     def __len__(self) -> int:
         n = len(self.indices)
