@@ -1,161 +1,174 @@
-"""MiDaS-style numpy preprocessing transforms (public-surface parity).
+"""MiDaS-style numpy preprocessing (host-side, public-surface parity).
 
 The reference ships ``src/preprocessing/transforms.py`` (366 LoC, vestigial in
-the live path but part of the public API surface — SURVEY.md §2.2): callable
-transforms over sample dicts {"image": HWC float [0,1], "disparity"/"depth"/
-"mask": ...} with a MiDaS-flavoured Resize supporting aspect-ratio preservation
-and ensure-multiple-of constraints, plus NormalizeImage and PrepareForNet, and a
-registry of named pipelines per model family (transforms.py:5-137).
+the live path but part of the public API surface — SURVEY.md §2.2); that file
+is itself vendored MIT-licensed MiDaS code (isl-org/MiDaS). What this module
+reimplements is the *numeric contract* of that code — the resize-shape
+selection rules (keep-aspect x lower/upper-bound/minimal x snap-to-multiple),
+ImageNet/MiDaS normalization constants, and the per-model pipeline registry —
+decomposed the way the rest of this repo is: the sizing logic is a pure
+function (``compute_resize_shape``) and the sample-dict callables are thin
+dataclasses over it.
 
-These are host-side numpy/cv2 utilities (used for one-off inference on arbitrary
-images); the training path uses the fused on-device pipeline in
-data/transforms.py instead.
+These are one-off host utilities for arbitrary-image inference; training uses
+the fused on-device pipeline in data/transforms.py instead. Output stays HWC
+(this framework is NHWC end to end) — ``PrepareForNet`` only casts/contiguates,
+unlike the reference's CHW transpose which existed for torch.
+
+Behavioral reference: transforms.py:5-137 (registry), :138-177 (apply_min_size),
+:180-326 (Resize), :329-340 (NormalizeImage), :343-363 (PrepareForNet).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import math
-from typing import Optional
+from typing import Callable, Sequence
 
 import cv2
 import numpy as np
 
 
-def apply_min_size(sample: dict, size, image_interpolation_method=cv2.INTER_AREA) -> tuple:
-    """Rescale so the sample is at least ``size`` (transforms.py:138-177)."""
-    shape = list(sample["disparity"].shape)
-    if shape[0] >= size[0] and shape[1] >= size[1]:
+def snap_to_multiple(x: float, multiple: int, min_val: int = 0, max_val: int | None = None) -> int:
+    """Round ``x`` to the nearest multiple, preferring floor/ceil to respect
+    the [min_val, max_val] bounds (transforms.py:205-223)."""
+    y = int(round(x / multiple) * multiple)
+    if max_val is not None and y > max_val:
+        y = int(math.floor(x / multiple) * multiple)
+    if y < min_val:
+        y = int(math.ceil(x / multiple) * multiple)
+    return y
+
+
+def compute_resize_shape(
+    in_w: int,
+    in_h: int,
+    target_w: int,
+    target_h: int,
+    keep_aspect_ratio: bool = False,
+    multiple_of: int = 1,
+    method: str = "lower_bound",
+) -> tuple[int, int]:
+    """Pure resize-shape selection (transforms.py:226-286). Returns (w, h).
+
+    method:
+      lower_bound — output >= target on both axes (fit-outside when keeping AR)
+      upper_bound — output <= target on both axes (fit-inside when keeping AR)
+      minimal     — scale each axis to target; when keeping AR, use whichever
+                    axis scale is closest to 1.
+    """
+    if method not in ("lower_bound", "upper_bound", "minimal"):
+        raise ValueError(f"resize_method {method} not implemented")
+
+    scale_w = target_w / in_w
+    scale_h = target_h / in_h
+    if keep_aspect_ratio:
+        if method == "lower_bound":
+            s = max(scale_w, scale_h)
+        elif method == "upper_bound":
+            s = min(scale_w, scale_h)
+        else:  # minimal: the scale closest to identity
+            s = scale_w if abs(1 - scale_w) < abs(1 - scale_h) else scale_h
+        scale_w = scale_h = s
+
+    if method == "lower_bound":
+        return (
+            snap_to_multiple(scale_w * in_w, multiple_of, min_val=target_w),
+            snap_to_multiple(scale_h * in_h, multiple_of, min_val=target_h),
+        )
+    if method == "upper_bound":
+        return (
+            snap_to_multiple(scale_w * in_w, multiple_of, max_val=target_w),
+            snap_to_multiple(scale_h * in_h, multiple_of, max_val=target_h),
+        )
+    return (
+        snap_to_multiple(scale_w * in_w, multiple_of),
+        snap_to_multiple(scale_h * in_h, multiple_of),
+    )
+
+
+def _resize_sample_targets(sample: dict, wh: tuple[int, int]) -> None:
+    """Nearest-resize every non-image plane present (depth/disparity/mask)."""
+    for key in ("disparity", "depth"):
+        if key in sample:
+            sample[key] = cv2.resize(sample[key], wh, interpolation=cv2.INTER_NEAREST)
+    if "mask" in sample:
+        sample["mask"] = cv2.resize(
+            sample["mask"].astype(np.float32), wh, interpolation=cv2.INTER_NEAREST
+        )
+
+
+def apply_min_size(sample: dict, size, image_interpolation_method=cv2.INTER_AREA):
+    """Upscale (never downscale) so the sample reaches at least ``size``
+    (transforms.py:138-177)."""
+    h, w = sample["disparity"].shape[:2]
+    if h >= size[0] and w >= size[1]:
         return sample
-    scale = [size[0] / shape[0], size[1] / shape[1]]
-    scale = max(scale)
-    shape[0] = math.ceil(scale * shape[0])
-    shape[1] = math.ceil(scale * shape[1])
+    scale = max(size[0] / h, size[1] / w)
+    out_h, out_w = math.ceil(scale * h), math.ceil(scale * w)
     sample["image"] = cv2.resize(
-        sample["image"], tuple(shape[::-1]), interpolation=image_interpolation_method
+        sample["image"], (out_w, out_h), interpolation=image_interpolation_method
     )
-    sample["disparity"] = cv2.resize(
-        sample["disparity"], tuple(shape[::-1]), interpolation=cv2.INTER_NEAREST
-    )
-    sample["mask"] = cv2.resize(
-        sample["mask"].astype(np.float32), tuple(shape[::-1]), interpolation=cv2.INTER_NEAREST
-    )
-    return tuple(shape)
+    _resize_sample_targets(sample, (out_w, out_h))
+    return (out_h, out_w)
 
 
+@dataclasses.dataclass(frozen=True)
 class Resize:
-    """Resize with keep-aspect / multiple-of constraints (transforms.py:180-326)."""
+    """Sample-dict resize over ``compute_resize_shape`` (transforms.py:180-326)."""
 
-    def __init__(
-        self,
-        width: int,
-        height: int,
-        resize_target: bool = True,
-        keep_aspect_ratio: bool = False,
-        ensure_multiple_of: int = 1,
-        resize_method: str = "lower_bound",
-        image_interpolation_method=cv2.INTER_AREA,
-    ):
-        self.__width = width
-        self.__height = height
-        self.__resize_target = resize_target
-        self.__keep_aspect_ratio = keep_aspect_ratio
-        self.__multiple_of = ensure_multiple_of
-        self.__resize_method = resize_method
-        self.__image_interpolation_method = image_interpolation_method
+    width: int
+    height: int
+    resize_target: bool = True
+    keep_aspect_ratio: bool = False
+    ensure_multiple_of: int = 1
+    resize_method: str = "lower_bound"
+    image_interpolation_method: int = cv2.INTER_AREA
 
-    def constrain_to_multiple_of(self, x, min_val=0, max_val=None):
-        y = (np.round(x / self.__multiple_of) * self.__multiple_of).astype(int)
-        if max_val is not None and y > max_val:
-            y = (np.floor(x / self.__multiple_of) * self.__multiple_of).astype(int)
-        if y < min_val:
-            y = (np.ceil(x / self.__multiple_of) * self.__multiple_of).astype(int)
-        return y
-
-    def get_size(self, width, height):
-        scale_height = self.__height / height
-        scale_width = self.__width / width
-        if self.__keep_aspect_ratio:
-            if self.__resize_method == "lower_bound":
-                if scale_width > scale_height:
-                    scale_height = scale_width
-                else:
-                    scale_width = scale_height
-            elif self.__resize_method == "upper_bound":
-                if scale_width < scale_height:
-                    scale_height = scale_width
-                else:
-                    scale_width = scale_height
-            elif self.__resize_method == "minimal":
-                if abs(1 - scale_width) < abs(1 - scale_height):
-                    scale_height = scale_width
-                else:
-                    scale_width = scale_height
-            else:
-                raise ValueError(f"resize_method {self.__resize_method} not implemented")
-
-        if self.__resize_method == "lower_bound":
-            new_height = self.constrain_to_multiple_of(scale_height * height, min_val=self.__height)
-            new_width = self.constrain_to_multiple_of(scale_width * width, min_val=self.__width)
-        elif self.__resize_method == "upper_bound":
-            new_height = self.constrain_to_multiple_of(scale_height * height, max_val=self.__height)
-            new_width = self.constrain_to_multiple_of(scale_width * width, max_val=self.__width)
-        elif self.__resize_method == "minimal":
-            new_height = self.constrain_to_multiple_of(scale_height * height)
-            new_width = self.constrain_to_multiple_of(scale_width * width)
-        else:
-            raise ValueError(f"resize_method {self.__resize_method} not implemented")
-        return (new_width, new_height)
+    def get_size(self, width: int, height: int) -> tuple[int, int]:
+        return compute_resize_shape(
+            width, height, self.width, self.height,
+            self.keep_aspect_ratio, self.ensure_multiple_of, self.resize_method,
+        )
 
     def __call__(self, sample: dict) -> dict:
-        width, height = self.get_size(
-            sample["image"].shape[1], sample["image"].shape[0]
-        )
+        h, w = sample["image"].shape[:2]
+        wh = self.get_size(w, h)
         sample["image"] = cv2.resize(
-            sample["image"], (width, height), interpolation=self.__image_interpolation_method
+            sample["image"], wh, interpolation=self.image_interpolation_method
         )
-        if self.__resize_target:
-            for key in ("disparity", "depth"):
-                if key in sample:
-                    sample[key] = cv2.resize(
-                        sample[key], (width, height), interpolation=cv2.INTER_NEAREST
-                    )
-            if "mask" in sample:
-                sample["mask"] = cv2.resize(
-                    sample["mask"].astype(np.float32), (width, height),
-                    interpolation=cv2.INTER_NEAREST,
-                )
+        if self.resize_target:
+            _resize_sample_targets(sample, wh)
         return sample
 
 
+@dataclasses.dataclass(frozen=True)
 class NormalizeImage:
-    """(image - mean) / std (transforms.py:329-340)."""
+    """image <- (image - mean) / std (transforms.py:329-340)."""
 
-    def __init__(self, mean, std):
-        self.__mean = mean
-        self.__std = std
+    mean: np.ndarray
+    std: np.ndarray
 
     def __call__(self, sample: dict) -> dict:
-        sample["image"] = (sample["image"] - self.__mean) / self.__std
+        sample["image"] = (sample["image"] - self.mean) / self.std
         return sample
 
 
 class PrepareForNet:
-    """HWC -> CHW contiguous float32 (transforms.py:343-363)."""
+    """Cast every plane to contiguous float32 (transforms.py:343-363). Images
+    stay HWC — this framework is NHWC; the reference's CHW transpose was a
+    torch-ism."""
 
     def __call__(self, sample: dict) -> dict:
-        image = np.transpose(sample["image"], (2, 0, 1))
-        sample["image"] = np.ascontiguousarray(image).astype(np.float32)
-        if "mask" in sample:
-            sample["mask"] = np.ascontiguousarray(sample["mask"].astype(np.float32))
-        for key in ("disparity", "depth"):
+        for key in ("image", "disparity", "depth", "mask"):
             if key in sample:
-                sample[key] = np.ascontiguousarray(sample[key].astype(np.float32))
+                sample[key] = np.ascontiguousarray(sample[key], dtype=np.float32)
         return sample
 
 
+@dataclasses.dataclass(frozen=True)
 class Compose:
-    def __init__(self, transforms):
-        self.transforms = transforms
+    transforms: Sequence[Callable]
 
     def __call__(self, sample):
         for t in self.transforms:
@@ -163,36 +176,37 @@ class Compose:
         return sample
 
 
-def _pipeline(width, height, keep_aspect_ratio, ensure_multiple_of, resize_method, mean, std):
-    return Compose(
-        [
-            Resize(
-                width,
-                height,
-                resize_target=True,
-                keep_aspect_ratio=keep_aspect_ratio,
-                ensure_multiple_of=ensure_multiple_of,
-                resize_method=resize_method,
-                image_interpolation_method=cv2.INTER_CUBIC,
-            ),
-            NormalizeImage(mean=mean, std=std),
-            PrepareForNet(),
-        ]
-    )
-
-
 _IMAGENET = (np.asarray([0.485, 0.456, 0.406]), np.asarray([0.229, 0.224, 0.225]))
 _MIDAS = (np.asarray([0.5, 0.5, 0.5]), np.asarray([0.5, 0.5, 0.5]))
+
+# name -> (side, keep_aspect_ratio, resize_method, (mean, std));
+# every pipeline snaps to /32 and resizes with bicubic (transforms.py:5-137).
+_PIPELINES = {
+    "default": (384, True, "upper_bound", _MIDAS),
+    "small": (256, True, "upper_bound", _MIDAS),
+    "dpt": (384, True, "minimal", _IMAGENET),
+    "beit512": (512, True, "minimal", _IMAGENET),
+    "swin384": (384, False, "minimal", _IMAGENET),
+    "swin256": (256, False, "minimal", _IMAGENET),
+    "levit": (224, False, "minimal", _IMAGENET),
+}
 
 
 def transforms() -> dict:
     """Named pipeline registry mirroring transforms.py:5-137."""
-    reg = {}
-    reg["default"] = _pipeline(384, 384, True, 32, "upper_bound", *_MIDAS)
-    reg["small"] = _pipeline(256, 256, True, 32, "upper_bound", *_MIDAS)
-    reg["dpt"] = _pipeline(384, 384, True, 32, "minimal", *_IMAGENET)
-    reg["beit512"] = _pipeline(512, 512, True, 32, "minimal", *_IMAGENET)
-    reg["swin384"] = _pipeline(384, 384, False, 32, "minimal", *_IMAGENET)
-    reg["swin256"] = _pipeline(256, 256, False, 32, "minimal", *_IMAGENET)
-    reg["levit"] = _pipeline(224, 224, False, 32, "minimal", *_IMAGENET)
-    return reg
+    return {
+        name: Compose(
+            (
+                Resize(
+                    side, side,
+                    keep_aspect_ratio=keep_ar,
+                    ensure_multiple_of=32,
+                    resize_method=method,
+                    image_interpolation_method=cv2.INTER_CUBIC,
+                ),
+                NormalizeImage(mean=mean_std[0], std=mean_std[1]),
+                PrepareForNet(),
+            )
+        )
+        for name, (side, keep_ar, method, mean_std) in _PIPELINES.items()
+    }

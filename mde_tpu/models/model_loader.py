@@ -7,7 +7,8 @@ table maps every reference entry to this framework's constructor, its input
 geometry, and the named numpy preprocessing pipeline from
 data/midas_transforms.py. Checkpoint paths are honored when the file exists
 (no egress to download releases); ``openvino`` entries are inference-engine
-specific and intentionally unsupported, as is the not-yet-implemented hybrid.
+specific and intentionally unsupported. Every other entry — including the
+ViT-hybrid (``dpt_hybrid_384``, models/dpt.py) — builds a real model.
 """
 
 from __future__ import annotations

@@ -157,14 +157,16 @@ def scale_invariant_loss_fused(pred, target, epsilon: float = 1e-6, sqroot: bool
 # ---------------------------------------------------------------------------
 
 
-def _window_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, n_valid: int):
-    _, t, c = q_ref.shape
+def _window_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, num_heads: int):
+    t, c = q_ref.shape[-2:]
     hd = c // num_heads
-    q = q_ref[0]  # (T, C)
-    k = k_ref[0]
-    v = v_ref[0]
-    key_idx = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-    key_mask = key_idx < n_valid
+    q = q_ref[0, 0]  # (T, C)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    # Per-window key validity row (1, T) -> broadcast over query rows. A scalar
+    # count cannot express 2D-ragged windows (right-edge windows have invalid
+    # columns *interleaved* in flattened token order), hence the explicit mask.
+    key_mask = jnp.broadcast_to(mask_ref[:] > 0, (t, t))
     scale = hd**-0.5
     # Static per-head loop with lane slicing — Mosaic supports neither splitting
     # the lane dim via reshape nor non-leading batch matmuls, and head_dim here
@@ -188,31 +190,33 @@ def _window_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, n_valid: 
                 preferred_element_type=jnp.float32,
             )
         )
-    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    o_ref[0, 0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-def window_attention_fused(qw, kw, vw, num_heads: int, n_valid: int):
+def window_attention_fused(qw, kw, vw, num_heads: int, key_valid):
     """Fused attention over pre-partitioned windows.
 
-    qw/kw/vw: (B, N_windows, T, C); returns (B, N_windows, T, C). ``n_valid``
-    masks padded key slots (ragged windows). Each (batch, window) pair is one
-    grid step: logits+softmax live entirely in VMEM.
+    qw/kw/vw: (B, N_windows, T, C); returns (B, N_windows, T, C).
+    ``key_valid``: (N_windows, T) per-window key validity (>0 = real token) —
+    the same mask construction as the XLA path in ops/window_attention.py, so
+    2D-ragged edge windows (invalid columns interleaved in flattened token
+    order) are handled exactly. Each (batch, window) pair is one grid step:
+    logits + softmax live entirely in VMEM and never touch HBM.
     """
     b, n, t, c = qw.shape
-    q2 = qw.reshape(b * n, t, c)
-    k2 = kw.reshape(b * n, t, c)
-    v2 = vw.reshape(b * n, t, c)
-    spec = pl.BlockSpec((1, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_window_attn_kernel, num_heads=num_heads, n_valid=n_valid)
+    key_valid = jnp.asarray(key_valid, jnp.float32).reshape(n, t)
+    spec = pl.BlockSpec((1, 1, t, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, t), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_window_attn_kernel, num_heads=num_heads)
     out = pl.pallas_call(
         kernel,
-        grid=(b * n,),
-        in_specs=[spec, spec, spec],
+        grid=(b, n),
+        in_specs=[spec, spec, spec, mask_spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b * n, t, c), vw.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n, t, c), vw.dtype),
         interpret=not _on_tpu(),
-    )(q2, k2, v2)
-    return out.reshape(b, n, t, c)
+    )(qw, kw, vw, key_valid)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -42,12 +42,22 @@ def _window_unpartition(x: jnp.ndarray, ws: int, nh: int, nw: int) -> jnp.ndarra
     return x.reshape(b, nh * ws, nw * ws, c)
 
 
+def _window_key_validity(h: int, w: int, hp: int, wp: int, ws: int) -> np.ndarray:
+    """(N_windows, T) validity of each window slot — trace-time constant."""
+    valid = np.zeros((hp, wp), dtype=np.float32)
+    valid[:h, :w] = 1.0
+    nh, nw = hp // ws, wp // ws
+    vw = valid.reshape(nh, ws, nw, ws).transpose(0, 2, 1, 3)
+    return vw.reshape(nh * nw, ws * ws)
+
+
 def windowed_cross_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     num_heads: int,
     window_size: int = 16,
+    backend: str = "xla",
 ) -> jnp.ndarray:
     """Multi-head attention within aligned windows of a 2D grid.
 
@@ -58,6 +68,9 @@ def windowed_cross_attention(
       window_size: spatial window edge; grids are zero-padded up to a multiple and
         the padded keys are masked out of the softmax (ragged final windows keep
         exact semantics, e.g. the 56x72 grid -> 8-wide remainder windows).
+      backend: "xla" (batched einsum; default) or "pallas" (fused VMEM-resident
+        softmax kernel, ops/pallas_kernels.py::window_attention_fused). Both use
+        the identical per-window key-validity mask.
 
     Returns: (B, H, W, C) attended values, dtype of ``v``.
     """
@@ -73,6 +86,15 @@ def windowed_cross_attention(
     kw, _, _ = _window_partition(kp, ws)
     vw, _, _ = _window_partition(vp, ws)
     n, t = qw.shape[1], qw.shape[2]
+    key_valid = _window_key_validity(h, w, hp, wp, ws)  # (N, T)
+
+    if backend == "pallas":
+        from .pallas_kernels import window_attention_fused
+
+        out = window_attention_fused(qw, kw, vw, num_heads, key_valid)
+        out = out.astype(v.dtype)
+        out = _window_unpartition(out, ws, nh, nw)
+        return out[:, :h, :w, :]
 
     def split(x):
         return x.reshape(b, n, t, num_heads, head_dim)
@@ -84,11 +106,7 @@ def windowed_cross_attention(
     ) * scale
 
     # Mask keys that came from padding (grid positions >= (h, w)).
-    valid = np.zeros((hp, wp), dtype=bool)
-    valid[:h, :w] = True
-    valid = jnp.asarray(valid)[None, :, :, None]  # (1, Hp, Wp, 1)
-    valid_w, _, _ = _window_partition(valid.astype(jnp.float32), ws)  # (1, N, T, 1)
-    key_mask = valid_w[:, :, None, None, :, 0] > 0  # (1, N, 1, 1, T)
+    key_mask = jnp.asarray(key_valid)[None, :, None, None, :] > 0  # (1, N, 1, 1, T)
     logits = jnp.where(key_mask, logits, jnp.finfo(jnp.float32).min)
 
     attn = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))

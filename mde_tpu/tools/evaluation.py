@@ -18,7 +18,27 @@ import numpy as np
 from ..data import DepthDataset, HostLoader
 from ..parallel import make_training_mesh
 from ..train import evaluate
+from ..train.trainer import FROZEN_SUBTREES
 from .common import bootstrap_model, parse_config, resolve_paths
+
+
+def count_trainable_params(params) -> int:
+    """Count only trainable parameters, excluding frozen subtrees.
+
+    The reference counts ``p.requires_grad`` params only (src/evaluation.py:64-65),
+    which excludes the frozen DINOv2 backbone (src/network/midas_semantics.py:169-172).
+    Our equivalent of requires_grad=False is the optimizer partition over
+    ``FROZEN_SUBTREES``; apply the same filter here so the printed number matches
+    the reference for the flagship.
+    """
+    total = 0
+    for top_key, subtree in dict(params).items():
+        if top_key in FROZEN_SUBTREES:
+            continue
+        total += sum(
+            int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(subtree)
+        )
+    return total
 
 
 def main():
@@ -29,9 +49,7 @@ def main():
     mesh = make_training_mesh(cfg, int(cfg.training.batch_size))
     model, state, _ = bootstrap_model(cfg, mesh, checkpoint=ckpt)
 
-    n_params = sum(
-        int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params)
-    )
+    n_params = count_trainable_params(state.params)
     print(f"Number of trainable parameters in the model: {n_params}")
 
     dataset = DepthDataset(paths["train_dir"], paths["train_list"], has_gt=True)

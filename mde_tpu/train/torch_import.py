@@ -187,15 +187,219 @@ def map_midas_small_key(key: str):
     return None
 
 
+_LN_MAP = {"weight": "scale", "bias": "bias"}
+
+
+def map_dinov2_key(key: str, prefix: tuple = ()):
+    """facebookresearch/dinov2 DinoVisionTransformer naming -> nn/vit.py ViT.
+
+    Covers the full inference surface of a dinov2_vit{s,b,l}14 checkpoint:
+    cls_token / pos_embed (same (1, 37*37+1, C) pretrain grid), patch_embed
+    conv, per-block pre-norm attention (fused qkv Linear — identical
+    (3, heads, hd) packing order on both sides), LayerScale gammas, GELU MLP,
+    and the final norm. ``mask_token`` (masked-image-modeling only) is
+    intentionally unmapped. Reference load site: src/network/midas_semantics.py:168-172.
+    """
+    if key == "cls_token":
+        return ("params", prefix + ("cls_token",), "none")
+    if key == "pos_embed":
+        return ("params", prefix + ("pos_embed",), "none")
+    if key == "mask_token":
+        return None
+    m = re.match(r"patch_embed\.proj\.(weight|bias)$", key)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", prefix + ("patch_embed", leaf),
+                "conv" if leaf == "kernel" else "none")
+    m = re.match(r"norm\.(weight|bias)$", key)
+    if m:
+        return ("params", prefix + ("norm", "LayerNorm_0", _LN_MAP[m.group(1)]), "none")
+    m = re.match(r"blocks\.(\d+)\.(norm1|norm2)\.(weight|bias)$", key)
+    if m:
+        i, sub, leaf = m.groups()
+        return ("params", prefix + (f"blocks_{i}", sub, "LayerNorm_0", _LN_MAP[leaf]), "none")
+    m = re.match(r"blocks\.(\d+)\.attn\.(qkv|proj)\.(weight|bias)$", key)
+    if m:
+        i, sub, leaf = m.groups()
+        if leaf == "weight":
+            return ("params", prefix + (f"blocks_{i}", "attn", sub, "kernel"), "linear")
+        return ("params", prefix + (f"blocks_{i}", "attn", sub, "bias"), "none")
+    m = re.match(r"blocks\.(\d+)\.(ls1|ls2)\.gamma$", key)
+    if m:
+        i, sub = m.groups()
+        return ("params", prefix + (f"blocks_{i}", sub, "gamma"), "none")
+    m = re.match(r"blocks\.(\d+)\.mlp\.(fc1|fc2)\.(weight|bias)$", key)
+    if m:
+        i, sub, leaf = m.groups()
+        if leaf == "weight":
+            return ("params", prefix + (f"blocks_{i}", "mlp", sub, "kernel"), "linear")
+        return ("params", prefix + (f"blocks_{i}", "mlp", sub, "bias"), "none")
+    return None
+
+
+def map_dinov2_head_key(key: str, prefix: tuple = ("dinov2_head",)):
+    """Reference Dinov2Head naming (src/network/dpt_depth.py:32-153) ->
+    models/midas_semantics.py::Dinov2Head. nclass=1 head: output_conv1 +
+    output_conv2 Sequential (conv at index 0; the final 1x1 is commented out).
+    resize_layers: 0/1 are ConvTranspose2d, 2 is Identity (no keys), 3 is Conv2d.
+    refinenet4.resConfUnit1 is dead (single-input call), as in MiDaS-small."""
+    m = re.match(r"projects\.(\d)\.(weight|bias)$", key)
+    if m:
+        i, leaf = m.groups()
+        path = prefix + (f"projects_{i}", "Conv_0", "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    m = re.match(r"resize_layers\.(\d)\.(weight|bias)$", key)
+    if m:
+        i, leaf = m.groups()
+        if i in ("0", "1"):  # ConvTranspose (our ConvTranspose holds kernel/bias directly)
+            path = prefix + (f"resize_{i}", "kernel" if leaf == "weight" else "bias")
+            return ("params", path, "conv_transpose" if leaf == "weight" else "none")
+        if i == "3":
+            path = prefix + ("resize_3", "Conv_0", "kernel" if leaf == "weight" else "bias")
+            return ("params", path, "conv" if leaf == "weight" else "none")
+        return None
+    m = re.match(r"scratch\.layer(\d)_rn\.weight$", key)
+    if m:
+        return ("params", prefix + ("scratch", f"layer{m.group(1)}_rn", "Conv_0", "kernel"), "conv")
+    m = re.match(r"scratch\.refinenet(\d)\.resConfUnit(\d)\.conv(\d)\.(weight|bias)$", key)
+    if m:
+        rn, rcu, conv, leaf = m.groups()
+        if rn == "4" and rcu == "1":
+            return None  # dead weights (refinenet4 single-input call)
+        path = prefix + (f"refinenet{rn}", f"resConfUnit{rcu}", f"conv{conv}", "Conv_0",
+                         "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    m = re.match(r"scratch\.refinenet(\d)\.out_conv\.(weight|bias)$", key)
+    if m:
+        rn, leaf = m.groups()
+        path = prefix + (f"refinenet{rn}", "out_conv", "Conv_0",
+                         "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    m = re.match(r"scratch\.output_conv1\.(weight|bias)$", key)
+    if m:
+        leaf = m.group(1)
+        path = prefix + ("output_conv1", "Conv_0", "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    m = re.match(r"scratch\.output_conv2\.0\.(weight|bias)$", key)
+    if m:
+        leaf = m.group(1)
+        path = prefix + ("output_conv2_0", "Conv_0", "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    return None
+
+
+def _map_residual_block(rest: str, prefix: tuple):
+    """Reference ResidualBlock naming (midas_semantics.py:129-151) -> ours.
+    conv1/conv2 are bias-free; shortcut.0/.1 appear when in!=out or stride!=1."""
+    m = re.match(r"(conv1|conv2)\.weight$", rest)
+    if m:
+        return ("params", prefix + (m.group(1), "Conv_0", "kernel"), "conv")
+    m = re.match(r"(bn1|bn2)\.(\w+)$", rest)
+    if m:
+        sub, leaf = m.groups()
+        coll, name, kind = _BN_MAP.get(leaf, (None, None, None))
+        if coll:
+            return (coll, prefix + (sub, "BatchNorm_0", name), kind)
+        return None
+    m = re.match(r"shortcut\.0\.weight$", rest)
+    if m:
+        return ("params", prefix + ("shortcut_conv", "Conv_0", "kernel"), "conv")
+    m = re.match(r"shortcut\.1\.(\w+)$", rest)
+    if m:
+        coll, name, kind = _BN_MAP.get(m.group(1), (None, None, None))
+        if coll:
+            return (coll, prefix + ("shortcut_bn", "BatchNorm_0", name), kind)
+        return None
+    return None
+
+
+def map_cross_attention_key(key: str, prefix: tuple = ("cross_attention",)):
+    """Reference CrossAttention naming (midas_semantics.py:14-63) -> ours.
+    Sequential indices: convs at 0/3/6, BNs at 1/4/7 (ReLUs are parameter-free);
+    q/k/v Linears are bias-free (qkv_bias=False), proj has a bias."""
+    m = re.match(r"(norm_q|norm_k|norm_v|norm_out)\.(weight|bias)$", key)
+    if m:
+        sub, leaf = m.groups()
+        return ("params", prefix + (sub, "LayerNorm_0", _LN_MAP[leaf]), "none")
+    m = re.match(r"(q|k|v|proj)\.(weight|bias)$", key)
+    if m:
+        sub, leaf = m.groups()
+        if leaf == "weight":
+            return ("params", prefix + (sub, "kernel"), "linear")
+        return ("params", prefix + (sub, "bias"), "none")
+    m = re.match(r"spatial_reduction\.(\d)\.(\w+)$", key)
+    if m:
+        idx, leaf = int(m.group(1)), m.group(2)
+        if idx % 3 == 0:  # conv
+            i = idx // 3
+            path = prefix + ("spatial_reduction", f"conv{i}", "Conv_0",
+                             "kernel" if leaf == "weight" else "bias")
+            return ("params", path, "conv" if leaf == "weight" else "none")
+        i = (idx - 1) // 3
+        coll, name, kind = _BN_MAP.get(leaf, (None, None, None))
+        if coll:
+            return (coll, prefix + ("spatial_reduction", f"bn{i}", "BatchNorm_0", name), kind)
+        return None
+    m = re.match(r"spatial_upsample\.(\d)\.(\w+)$", key)
+    if m:
+        idx, leaf = int(m.group(1)), m.group(2)
+        if idx % 3 == 0:  # ConvTranspose (kernel/bias live directly on the module)
+            i = idx // 3
+            path = prefix + (f"spatial_upsample_conv{i}", "kernel" if leaf == "weight" else "bias")
+            return ("params", path, "conv_transpose" if leaf == "weight" else "none")
+        i = (idx - 1) // 3
+        coll, name, kind = _BN_MAP.get(leaf, (None, None, None))
+        if coll:
+            return (coll, prefix + (f"spatial_upsample_bn{i}", "BatchNorm_0", name), kind)
+        return None
+    return None
+
+
 def map_midas_semantics_key(key: str):
-    """MidasNetSemantics: the MiDaS branch lives under the 'midas' submodule
-    (models/midas_semantics.py), and the head's final 1x1 (output_conv.4) is
-    removed (midas_semantics.py:159-163) — matching the reference's
-    shape-filtered bootstrap of midas_v21_small weights into the semantics
-    model (src/main.py:451-462). Non-midas reference keys (dinov2.*,
-    cross_attention.*, fusion/depth heads) are left unmapped here; they never
-    exist in MiDaS release checkpoints."""
-    if key.startswith("scratch.output_conv.4."):
+    """MidasNetSemantics: the complete flagship checkpoint surface.
+
+    - MiDaS branch keys land under the 'midas' submodule; the head's final 1x1
+      (output_conv.4/.5) is removed by the reference's own surgery
+      (midas_semantics.py:159-163), so those keys are dropped. The surgery
+      re-concatenates Sequential[0:4]+[6:], which *keeps* indices 0..3 — a
+      trained semantics checkpoint therefore carries output_conv.0/.2 only.
+    - dinov2.* (frozen ViT), dinov2_head.*, cross_attention.*, fusion_blocks.*,
+      fusion_head.*, depth_head.* map onto the same-named flax submodules
+      (models/midas_semantics.py). Reference init: midas_semantics.py:153-205.
+    """
+    if key.startswith("dinov2."):
+        return map_dinov2_key(key[len("dinov2."):], prefix=("dinov2",))
+    if key.startswith("dinov2_head."):
+        return map_dinov2_head_key(key[len("dinov2_head."):])
+    if key.startswith("cross_attention."):
+        return map_cross_attention_key(key[len("cross_attention."):])
+    m = re.match(r"fusion_blocks\.(\d)\.(.+)$", key)
+    if m:
+        return _map_residual_block(m.group(2), (f"fusion_blocks_{m.group(1)}",))
+    m = re.match(r"fusion_head\.0\.(.+)$", key)
+    if m:
+        return _map_residual_block(m.group(1), ("fusion_head_0",))
+    m = re.match(r"fusion_head\.1\.(weight|bias)$", key)
+    if m:
+        leaf = m.group(1)
+        path = ("fusion_head_1", "Conv_0", "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    m = re.match(r"fusion_head\.2\.(\w+)$", key)
+    if m:
+        coll, name, kind = _BN_MAP.get(m.group(1), (None, None, None))
+        if coll:
+            return (coll, ("fusion_head_bn", "BatchNorm_0", name), kind)
+        return None
+    m = re.match(r"depth_head\.0\.(.+)$", key)
+    if m:
+        return _map_residual_block(m.group(1), ("depth_head_0",))
+    m = re.match(r"depth_head\.1\.(weight|bias)$", key)
+    if m:
+        leaf = m.group(1)
+        path = ("depth_head_1", "Conv_0", "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+
+    if key.startswith("scratch.output_conv.4.") or key.startswith("scratch.output_conv.5."):
         return None  # removed by the head surgery
     mapped = map_midas_small_key(key)
     if mapped is None:
@@ -248,6 +452,7 @@ def import_torch_checkpoint(path: str, params, batch_stats, model_type: str = "U
         "U_Net": map_simple_unet_key,
         "MiDaS_small": map_midas_small_key,
         "MiDaS_semantics": map_midas_semantics_key,
+        "dinov2": map_dinov2_key,
     }
     if model_type not in key_maps:
         raise NotImplementedError(

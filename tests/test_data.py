@@ -141,3 +141,82 @@ def test_utils():
     import jax.numpy as jnp
 
     assert count_params({"w": jnp.zeros((2, 3)), "b": jnp.zeros((3,))}) == 9
+
+
+# ---- MiDaS-style host preprocessing (data/midas_transforms.py) ----
+
+
+def test_compute_resize_shape_semantics():
+    from mde_tpu.data.midas_transforms import compute_resize_shape
+
+    # lower_bound keep-AR: output >= target on both axes, /32-snapped
+    w, h = compute_resize_shape(560, 426, 384, 384, True, 32, "lower_bound")
+    assert w >= 384 and h >= 384
+    assert w % 32 == 0 and h % 32 == 0
+    # AR preserved by a common scale: the larger axis scale wins
+    s = max(384 / 560, 384 / 426)
+    assert w == round(s * 560 / 32) * 32 or w == -(-int(s * 560) // 32) * 32
+
+    # upper_bound keep-AR: output <= target on both axes
+    w, h = compute_resize_shape(560, 426, 384, 384, True, 32, "upper_bound")
+    assert w <= 384 and h <= 384
+    assert w % 32 == 0 and h % 32 == 0
+
+    # minimal without keep-AR: each axis scales to its own target exactly
+    w, h = compute_resize_shape(560, 426, 384, 384, False, 32, "minimal")
+    assert (w, h) == (384, 384)
+    # minimal WITH keep-AR: the axis scale closest to 1 wins (384/426 ~ 0.90
+    # beats 384/560 ~ 0.69), so w = snap(0.9014 * 560 = 504.8) = 512
+    w, h = compute_resize_shape(560, 426, 384, 384, True, 32, "minimal")
+    assert (w, h) == (512, 384)
+
+    # exact multiples pass through
+    assert compute_resize_shape(384, 384, 384, 384, True, 32, "lower_bound") == (384, 384)
+
+
+def test_midas_pipeline_registry_shapes():
+    import numpy as np
+
+    from mde_tpu.data.midas_transforms import transforms
+
+    reg = transforms()
+    assert set(reg) == {"default", "small", "dpt", "beit512", "swin384", "swin256", "levit"}
+    img = np.random.default_rng(0).uniform(0, 1, (426, 560, 3)).astype(np.float32)
+
+    out = reg["default"]({"image": img.copy()})
+    h, w = out["image"].shape[:2]
+    # upper_bound keep-AR at 384: fits inside 384x384, /32 multiples, HWC float32
+    assert h <= 384 and w <= 384 and h % 32 == 0 and w % 32 == 0
+    assert out["image"].ndim == 3 and out["image"].shape[2] == 3
+    assert out["image"].dtype == np.float32
+
+    out = reg["swin384"]({"image": img.copy()})
+    assert out["image"].shape[:2] == (384, 384)  # no keep-AR: exact square
+
+    # "default" uses MiDaS normalization (mean/std 0.5): x -> (x - 0.5) / 0.5.
+    from mde_tpu.data.midas_transforms import Resize
+    import cv2
+
+    resized = Resize(384, 384, keep_aspect_ratio=True, ensure_multiple_of=32,
+                     resize_method="upper_bound",
+                     image_interpolation_method=cv2.INTER_CUBIC)(
+        {"image": img.copy()})["image"]
+    out = reg["default"]({"image": img.copy()})
+    np.testing.assert_allclose(out["image"], (resized - 0.5) / 0.5, rtol=1e-5, atol=1e-6)
+
+
+def test_midas_resize_targets_nearest():
+    import numpy as np
+
+    from mde_tpu.data.midas_transforms import Resize
+
+    r = Resize(64, 64, resize_target=True, keep_aspect_ratio=False,
+               ensure_multiple_of=32, resize_method="minimal")
+    img = np.zeros((100, 120, 3), np.float32)
+    depth = np.arange(100 * 120, dtype=np.float32).reshape(100, 120)
+    out = r({"image": img, "depth": depth.copy(), "mask": depth > 50})
+    assert out["image"].shape[:2] == (64, 64)
+    assert out["depth"].shape == (64, 64)
+    assert out["mask"].shape == (64, 64)
+    # nearest interpolation: every output value exists in the input
+    assert np.isin(out["depth"], depth).all()

@@ -51,20 +51,61 @@ def test_si_sums_custom_vjp_matches_autodiff(rng):
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-4, atol=1e-7)
 
 
-def test_window_attention_fused_matches_xla(rng):
-    from mde_tpu.ops.window_attention import _window_partition, _window_unpartition
+def test_window_attention_fused_matches_xla_aligned(rng):
+    from mde_tpu.ops import windowed_cross_attention
 
     b, h, w, c, heads, ws = 1, 32, 32, 16, 4, 16
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+        for _ in range(3)
+    )
+    got = np.asarray(windowed_cross_attention(q, k, v, heads, ws, backend="pallas"))
+    want = np.asarray(windowed_cross_attention(q, k, v, heads, ws, backend="xla"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_window_attention_fused_matches_xla_ragged_flagship(rng):
+    """The flagship CrossAttention shape: 56x72 grid, ws=16 -> 2D-ragged edge
+    windows whose invalid key slots are interleaved in flattened token order
+    (8-wide right-edge remainder). A scalar n_valid cannot express this."""
+    from mde_tpu.ops import windowed_cross_attention
+
+    b, h, w, c, heads, ws = 2, 56, 72, 32, 8, 16
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+        for _ in range(3)
+    )
+    got = np.asarray(windowed_cross_attention(q, k, v, heads, ws, backend="pallas"))
+    want = np.asarray(windowed_cross_attention(q, k, v, heads, ws, backend="xla"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_window_attention_xla_ragged_vs_dense_reference(rng):
+    """XLA windowed path vs a literal per-window numpy attention on a ragged
+    grid — validates the mask itself, not just pallas==xla."""
+    b, h, w, c, heads, ws = 1, 20, 28, 8, 2, 16
+    hd = c // heads
     q, k, v = (rng.standard_normal((b, h, w, c)).astype(np.float32) for _ in range(3))
-    qw, nh, nw = _window_partition(jnp.asarray(q), ws)
-    kw, _, _ = _window_partition(jnp.asarray(k), ws)
-    vw, _, _ = _window_partition(jnp.asarray(v), ws)
-    out = window_attention_fused(qw, kw, vw, heads, n_valid=ws * ws)
-    got = np.asarray(_window_unpartition(out, ws, nh, nw))
+
+    want = np.zeros_like(q)
+    for wi in range(0, h, ws):
+        for wj in range(0, w, ws):
+            qs = q[:, wi : wi + ws, wj : wj + ws, :]
+            ks = k[:, wi : wi + ws, wj : wj + ws, :]
+            vs = v[:, wi : wi + ws, wj : wj + ws, :]
+            bh, hh, wwd, _ = qs.shape
+            qf = qs.reshape(bh, hh * wwd, heads, hd)
+            kf = ks.reshape(bh, hh * wwd, heads, hd)
+            vf = vs.reshape(bh, hh * wwd, heads, hd)
+            logits = np.einsum("bqhd,bkhd->bhqk", qf, kf) / np.sqrt(hd)
+            e = np.exp(logits - logits.max(-1, keepdims=True))
+            attn = e / e.sum(-1, keepdims=True)
+            of = np.einsum("bhqk,bkhd->bqhd", attn, vf).reshape(bh, hh, wwd, c)
+            want[:, wi : wi + ws, wj : wj + ws, :] = of
 
     from mde_tpu.ops import windowed_cross_attention
 
-    want = np.asarray(
+    got = np.asarray(
         windowed_cross_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads, ws)
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
