@@ -7,6 +7,7 @@ from .blocks import (
     FeatureFusionBlockCustom,
     ScratchConvs,
 )
+from .fuse import discover_conv_bn_pairs, fold_conv_bn, fuse_model_params
 
 __all__ = [
     "Conv",
@@ -16,4 +17,7 @@ __all__ = [
     "FeatureFusionBlock",
     "FeatureFusionBlockCustom",
     "ScratchConvs",
+    "discover_conv_bn_pairs",
+    "fold_conv_bn",
+    "fuse_model_params",
 ]

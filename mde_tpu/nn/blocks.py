@@ -115,6 +115,14 @@ class BatchNorm(nn.Module):
     ``axis_name`` enables cross-device statistics sync when the train step runs
     under shard_map/pmap with that mesh axis — the data-parallel sync_batchnorm
     the single-GPU reference never needed (SURVEY.md §7.4 item 3).
+
+    Mixed-precision policy: the normalize/scale/shift math runs in the
+    activation dtype (flax computes the batch statistics themselves in float32
+    regardless — see flax.linen.normalization._compute_stats — and the running
+    stats are stored fp32), so bf16 activations are never materialized in fp32.
+    On this TPU that matters: the chip is HBM-bound (~26 GB/s effective, see
+    BASELINE.md), and a full-res fp32 island costs two extra memory passes per
+    norm layer. CPU (tests, golden parity) computes fp32 end to end.
     """
 
     use_running_average: bool = True
@@ -122,31 +130,24 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # fp32 island: batch statistics in bf16 lose too much precision over
-        # H*W*B elements; cast in/out so mixed-precision models stay stable.
-        dtype = x.dtype
-        y = nn.BatchNorm(
+        return nn.BatchNorm(
             use_running_average=self.use_running_average,
             momentum=0.9,
             epsilon=1e-5,
             axis_name=self.axis_name,
-            dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return y.astype(dtype)
+            dtype=x.dtype,
+        )(x)
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm computed in float32 regardless of activation dtype."""
+    """LayerNorm: statistics in float32 (flax internals), arithmetic in the
+    activation dtype (same HBM-traffic rationale as BatchNorm above)."""
 
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
-        dtype = x.dtype
-        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        )
-        return y.astype(dtype)
+        return nn.LayerNorm(epsilon=self.epsilon, dtype=x.dtype)(x)
 
 
 def interpolate(x, scale_factor=None, size=None, align_corners=False):

@@ -78,22 +78,24 @@ class TFConv(nn.Module):
 
 
 class TFBatchNorm(nn.Module):
-    """BN with TF-effnet defaults: eps 1e-3, momentum 0.1 (torch convention)."""
+    """BN with TF-effnet defaults: eps 1e-3, momentum 0.1 (torch convention).
+
+    Stats in fp32 (flax internals), arithmetic in the activation dtype — see
+    nn/blocks.py::BatchNorm for the HBM-traffic rationale.
+    """
 
     train: bool = False
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        dtype = x.dtype
-        y = nn.BatchNorm(
+        return nn.BatchNorm(
             use_running_average=not self.train,
             momentum=0.9,
             epsilon=1e-3,
             axis_name=self.axis_name,
-            dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return y.astype(dtype)
+            dtype=x.dtype,
+        )(x)
 
 
 class MBConvLite(nn.Module):

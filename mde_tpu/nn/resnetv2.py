@@ -50,10 +50,9 @@ class StdConv(nn.Module):
 
 
 def _gn(x, name):
-    dtype = x.dtype
-    return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name=name)(
-        x.astype(jnp.float32)
-    ).astype(dtype)
+    # Stats in fp32 (flax internals), arithmetic in the activation dtype — see
+    # nn/blocks.py::BatchNorm for the HBM-traffic rationale.
+    return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=x.dtype, name=name)(x)
 
 
 class PreactBottleneck(nn.Module):

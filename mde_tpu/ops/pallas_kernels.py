@@ -163,10 +163,13 @@ def _window_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, num_heads: int)
     q = q_ref[0, 0]  # (T, C)
     k = k_ref[0, 0]
     v = v_ref[0, 0]
-    # Per-window key validity row (1, T) -> broadcast over query rows. A scalar
-    # count cannot express 2D-ragged windows (right-edge windows have invalid
-    # columns *interleaved* in flattened token order), hence the explicit mask.
-    key_mask = jnp.broadcast_to(mask_ref[:] > 0, (t, t))
+    # Per-window key validity row -> broadcast over query rows. A scalar count
+    # cannot express 2D-ragged windows (right-edge windows have invalid columns
+    # *interleaved* in flattened token order), hence the explicit mask. The
+    # whole (N, T) mask is resident (tiny); select this window's row by
+    # program id (a (1, T) block would violate Mosaic's (8, 128) tiling rule).
+    j = pl.program_id(1)
+    key_mask = jnp.broadcast_to(mask_ref[j, :][None, :] > 0, (t, t))
     scale = hd**-0.5
     # Static per-head loop with lane slicing — Mosaic supports neither splitting
     # the lane dim via reshape nor non-leading batch matmuls, and head_dim here
@@ -206,7 +209,7 @@ def window_attention_fused(qw, kw, vw, num_heads: int, key_valid):
     b, n, t, c = qw.shape
     key_valid = jnp.asarray(key_valid, jnp.float32).reshape(n, t)
     spec = pl.BlockSpec((1, 1, t, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((1, t), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((n, t), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(_window_attn_kernel, num_heads=num_heads)
     out = pl.pallas_call(
         kernel,

@@ -70,20 +70,33 @@ def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarr
     return w
 
 
-# Above this in_size the dense-matmul formulation's O(out*in) FLOPs exceed the
-# two-gather formulation's O(out) memory traffic by enough to matter; measured
-# crossover is well below 64 on v5e but small matrices also fold into fusions.
-_MATMUL_MAX_IN = 64
+# Beyond this in_size a dense (out x in) matrix stops being practical and the
+# two-gather form takes over (none of the reference's shapes get close).
+_MATMUL_MAX_IN = 4096
 
 
-def _resize_axis(x: jnp.ndarray, axis: int, out_size: int, align_corners: bool) -> jnp.ndarray:
-    """Interpolate one axis: tiny axes ride the MXU as a dense matmul (exact
-    fp32, precision=highest); large axes use two gathers + a lerp (identical
-    weights, ~data-sized HBM traffic instead of O(out*in) FLOPs)."""
+def _resize_axis(
+    x: jnp.ndarray, axis: int, out_size: int, align_corners: bool, exact: bool
+) -> jnp.ndarray:
+    """Interpolate one axis as a dense-matrix contraction on the MXU.
+
+    Measured on the target TPU (benchmarks/ab_lowerings.py): at the flagship's
+    shapes both the two-gather and the matmul lowerings are HBM-traffic-bound
+    and within ~1.7x of each other, with the matmul form winning every fp32
+    case and the 2x-upsample bf16 cases — so the matmul IS the default, and
+    gathers only cover absurdly long axes. ``exact`` keeps fp32 taps +
+    precision=highest (bit-stable parity paths); otherwise the contraction
+    runs in the activation dtype at native precision (for bf16 activations
+    this halves the HBM traffic, and the ~1e-2 interpolation rounding is far
+    below bf16 activation noise).
+    """
     in_size = x.shape[axis]
     if in_size <= _MATMUL_MAX_IN:
         w = jnp.asarray(_interp_matrix(in_size, out_size, align_corners))
-        y = jnp.tensordot(w, x, axes=((1,), (axis,)), precision="highest")
+        if exact:
+            y = jnp.tensordot(w, x, axes=((1,), (axis,)), precision="highest")
+        else:
+            y = jnp.tensordot(w.astype(x.dtype), x, axes=((1,), (axis,)))
         return jnp.moveaxis(y, 0, axis)
     i0, i1, frac = _interp_taps(in_size, out_size, align_corners)
     a = jnp.take(x, jnp.asarray(i0), axis=axis)
@@ -103,7 +116,12 @@ def resize_bilinear(
 
     Accepts (H, W), (B, H, W) or (..., H, W, C) — any rank >= 2; the spatial axes
     are the last two for rank <= 3 and the (-3, -2) axes (NHWC) for rank >= 4.
-    Interpolation happens in the input dtype's promotion with float32 weights.
+
+    Dtype policy: float32 (and integer) inputs interpolate exactly in fp32 —
+    these are the metric-parity-critical paths (depth targets, submission-size
+    predictions, CPU tests). Sub-fp32 float inputs (bf16/f16 activations inside
+    a mixed-precision model) interpolate in their own dtype: half the HBM
+    traffic on a bandwidth-bound op, rounding well under activation noise.
     """
     out_h, out_w = int(size[0]), int(size[1])
     channel_last = x.ndim >= 4
@@ -114,15 +132,13 @@ def resize_bilinear(
         return x
 
     dtype = x.dtype
-    # Interpolation itself in fp32: resize weights feed metric-parity-critical
-    # paths (depth targets, submission-size predictions), where bf16 rounding
-    # is not ok. The cast is free inside fusions for fp32 activations.
-    compute = x.astype(jnp.float32) if dtype != jnp.float32 else x
+    exact = not (jnp.issubdtype(dtype, jnp.floating) and jnp.finfo(dtype).bits < 32)
+    compute = x.astype(jnp.float32) if (exact and dtype != jnp.float32) else x
     # Same-size axes are exact identities in both conventions (src == o).
     if in_h != out_h:
-        compute = _resize_axis(compute, h_axis, out_h, align_corners)
+        compute = _resize_axis(compute, h_axis, out_h, align_corners, exact)
     if in_w != out_w:
-        compute = _resize_axis(compute, w_axis, out_w, align_corners)
+        compute = _resize_axis(compute, w_axis, out_w, align_corners, exact)
     return compute.astype(dtype)
 
 

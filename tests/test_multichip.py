@@ -89,3 +89,71 @@ def test_dryrun_multichip_contract():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_checkpoint_roundtrip_resume_under_mesh(rng, tmp_path):
+    """Save mid-training on the 8-device mesh, restore into a FRESH state
+    (params + batch_stats + optimizer state), resume, and bit-match the next
+    step against the uninterrupted run (SURVEY.md §5.3-5.4: resume must be
+    exact, including the optimizer moments the reference saved but never
+    restored)."""
+    from mde_tpu.parallel import replicate
+    from mde_tpu.train import load_checkpoint, save_checkpoint
+
+    cfg = _cfg()
+    mesh = make_mesh(data=8, model=1)
+    model = SimpleUNet()
+    rgb_f = jnp.zeros((1, *SIZE, 3), jnp.float32)
+    step = make_train_step(model, cfg)
+    batches = [
+        {
+            "rgb": rng.integers(0, 255, (8, *SIZE, 3)).astype(np.uint8),
+            "depth": rng.uniform(0.5, 5.0, (8, *SIZE)).astype(np.float32),
+        }
+        for _ in range(3)
+    ]
+    keys = [jax.random.key(100 + i) for i in range(3)]
+
+    # uninterrupted run: 3 steps
+    state = create_train_state(model, jax.random.key(0), rgb_f, cfg, mesh)
+    mid = None
+    for i, (b, k) in enumerate(zip(batches, keys)):
+        sb = shard_batch(b, mesh)
+        state, _ = step(state, k, sb["rgb"], sb["depth"])
+        if i == 1:
+            mid = state  # after 2 steps
+            save_checkpoint(
+                str(tmp_path / "ckpt.pth"),
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "step": state.step,
+                },
+            )
+    want = jax.device_get(state.params)
+
+    # resumed run: fresh process-equivalent state, restore, replicate, 1 step
+    fresh = create_train_state(model, jax.random.key(42), rgb_f, cfg, mesh)
+    payload = load_checkpoint(
+        str(tmp_path / "ckpt.pth"),
+        template={
+            "params": jax.device_get(fresh.params),
+            "batch_stats": jax.device_get(fresh.batch_stats),
+            "opt_state": jax.device_get(fresh.opt_state),
+            "step": 0,
+        },
+    )
+    resumed = fresh.replace(
+        step=jnp.asarray(payload["step"], jnp.int32),
+        params=replicate(payload["params"], mesh),
+        batch_stats=replicate(payload["batch_stats"], mesh),
+        opt_state=replicate(payload["opt_state"], mesh),
+    )
+    sb = shard_batch(batches[2], mesh)
+    resumed, _ = step(resumed, keys[2], sb["rgb"], sb["depth"])
+    got = jax.device_get(resumed.params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(resumed.step) == 3
