@@ -79,6 +79,13 @@ class ConvTranspose(nn.Module):
     Implemented directly as an input-dilated convolution with a spatially
     flipped kernel, which is exactly what torch computes — so a converted
     ``.pth`` kernel (after OIHW->HWIO transpose) drops straight in.
+
+    Lowering note: an output-phase ("pixel-shuffle") decomposition that
+    computes only the (k/s)^2 real taps per output was A/B-measured against
+    this dilated form on the target TPU (benchmarks/ab_conv_transpose.py) and
+    LOST at every flagship shape (0.54-0.96x) — XLA's TPU conv emitter already
+    skips dilation zeros, and the phase-interleave costs an extra HBM pass.
+    The dilated form is the keeper.
     """
 
     features: int
@@ -94,6 +101,11 @@ class ConvTranspose(nn.Module):
         kernel = self.param(
             "kernel", _kaiming_uniform, (k, k, in_ch, self.features)
         )
+        if x.dtype != kernel.dtype:
+            # init-time mix (bf16 activations, fresh fp32 params): promote like
+            # flax.nn.Conv does; the training path casts params beforehand.
+            dt = jnp.promote_types(x.dtype, kernel.dtype)
+            x, kernel = x.astype(dt), kernel.astype(dt)
         pad = k - 1 - p
         y = jax.lax.conv_general_dilated(
             x,

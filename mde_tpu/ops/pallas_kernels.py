@@ -20,10 +20,13 @@ Measured on TPU v5e (bs8 x 448x576 f32): si fwd Pallas 19us vs XLA-fused jnp
 20us; bwd Pallas-VJP 2.6ms vs XLA autodiff 1.7ms (XLA skips the unused target
 cotangent). Conclusion per the kernel guide's own advice — XLA's fusion already
 hits the HBM roofline for these reductions, so the default loss path stays jnp
-and these kernels are the exercised, tested alternates (the pattern matters for
-ops XLA cannot fuse; the windowed-attention kernel keeps softmax logits out of
-HBM entirely). ``normalize_u8_fused`` is interpret-only: Mosaic rejects the
-3-lane NHWC layout (XLA fuses the same math into the consumer for free).
+and the si kernel is an exercised, tested alternate. ``window_attention_fused``
+IS the live TPU path for the flagship CrossAttention (via
+ops/window_attention.py backend="auto"): the fused softmax keeps logits out of
+HBM and measures 1.31x faster than the XLA einsum at the flagship 56x72/ws16
+bf16 shape (benchmarks/ab_lowerings.py). ``normalize_u8_fused`` is
+interpret-only: Mosaic rejects the 3-lane NHWC layout (XLA fuses the same math
+into the consumer for free).
 """
 
 from __future__ import annotations

@@ -14,14 +14,20 @@ attention over all windows at once:
   one batched QK^T softmax V with padded keys masked -> unpad.
 
 Every matmul is large and batched (MXU-friendly), the softmax is computed in
-float32, and there is no data-dependent control flow, so the whole thing compiles
-to a handful of fused XLA ops. A Pallas flash-style kernel with the same signature
-can be slotted in for the fused-softmax variant; at T<=256 tokens per window XLA's
-fusion is already near the HBM roofline for these shapes.
+float32, and there is no data-dependent control flow. Two backends share the
+identical per-window validity mask: the XLA batched einsum, and a Pallas
+fused-softmax kernel (ops/pallas_kernels.py::window_attention_fused) whose
+logits/probabilities live entirely in VMEM. On TPU the Pallas kernel is the
+default — measured 1.31x faster at the flagship 56x72/ws16 bf16 shape
+(benchmarks/ab_lowerings.py, same-process A/B) — with a custom VJP that
+recomputes through the XLA math for the backward.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,50 +57,10 @@ def _window_key_validity(h: int, w: int, hp: int, wp: int, ws: int) -> np.ndarra
     return vw.reshape(nh * nw, ws * ws)
 
 
-def windowed_cross_attention(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    num_heads: int,
-    window_size: int = 16,
-    backend: str = "xla",
-) -> jnp.ndarray:
-    """Multi-head attention within aligned windows of a 2D grid.
-
-    Args:
-      q, k, v: (B, H, W, C) projected token grids (C = num_heads * head_dim).
-        Queries attend only to keys/values inside their own window.
-      num_heads: attention head count.
-      window_size: spatial window edge; grids are zero-padded up to a multiple and
-        the padded keys are masked out of the softmax (ragged final windows keep
-        exact semantics, e.g. the 56x72 grid -> 8-wide remainder windows).
-      backend: "xla" (batched einsum; default) or "pallas" (fused VMEM-resident
-        softmax kernel, ops/pallas_kernels.py::window_attention_fused). Both use
-        the identical per-window key-validity mask.
-
-    Returns: (B, H, W, C) attended values, dtype of ``v``.
-    """
-    b, h, w, c = q.shape
+def _xla_window_attention(qw, kw, vw, num_heads: int, key_valid) -> jnp.ndarray:
+    """Batched einsum attention over partitioned windows: (B, N, T, C) -> same."""
+    b, n, t, c = qw.shape
     head_dim = c // num_heads
-    ws = window_size
-    hp = -(-h // ws) * ws
-    wp = -(-w // ws) * ws
-    pad = ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
-    qp, kp, vp = (jnp.pad(t, pad) for t in (q, k, v))
-
-    qw, nh, nw = _window_partition(qp, ws)  # (B, N, T, C)
-    kw, _, _ = _window_partition(kp, ws)
-    vw, _, _ = _window_partition(vp, ws)
-    n, t = qw.shape[1], qw.shape[2]
-    key_valid = _window_key_validity(h, w, hp, wp, ws)  # (N, T)
-
-    if backend == "pallas":
-        from .pallas_kernels import window_attention_fused
-
-        out = window_attention_fused(qw, kw, vw, num_heads, key_valid)
-        out = out.astype(v.dtype)
-        out = _window_unpartition(out, ws, nh, nw)
-        return out[:, :h, :w, :]
 
     def split(x):
         return x.reshape(b, n, t, num_heads, head_dim)
@@ -114,6 +80,83 @@ def windowed_cross_attention(
     out = jnp.einsum(
         "bnhqk,bnkhd->bnqhd", attn.astype(vh.dtype), vh, preferred_element_type=jnp.float32
     )
-    out = out.reshape(b, n, t, c).astype(v.dtype)
+    return out.reshape(b, n, t, c).astype(vw.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_window_attention(qw, kw, vw, num_heads: int, key_valid):
+    """Pallas fused-softmax forward (logits never touch HBM); analytic backward
+    via the XLA einsum math with logits recomputed — the standard flash-style
+    trade of one extra QK^T for not saving the (B, N, H, T, T) probability
+    tensor. A/B at the flagship 56x72/ws16 bf16 shape: Pallas fwd 1.97 ms vs
+    XLA 2.58 ms (benchmarks/ab_lowerings.py, same process)."""
+    from .pallas_kernels import window_attention_fused
+
+    return window_attention_fused(qw, kw, vw, num_heads, key_valid)
+
+
+def _pallas_wa_fwd(qw, kw, vw, num_heads, key_valid):
+    out = _pallas_window_attention(qw, kw, vw, num_heads, key_valid)
+    return out, (qw, kw, vw, key_valid)
+
+
+def _pallas_wa_bwd(num_heads, res, g):
+    qw, kw, vw, key_valid = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _xla_window_attention(q, k, v, num_heads, key_valid),
+        qw, kw, vw,
+    )
+    dq, dk, dv = vjp(g.astype(vw.dtype))
+    return dq, dk, dv, jnp.zeros_like(key_valid)
+
+
+_pallas_window_attention.defvjp(_pallas_wa_fwd, _pallas_wa_bwd)
+
+
+def windowed_cross_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    window_size: int = 16,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Multi-head attention within aligned windows of a 2D grid.
+
+    Args:
+      q, k, v: (B, H, W, C) projected token grids (C = num_heads * head_dim).
+        Queries attend only to keys/values inside their own window.
+      num_heads: attention head count.
+      window_size: spatial window edge; grids are zero-padded up to a multiple and
+        the padded keys are masked out of the softmax (ragged final windows keep
+        exact semantics, e.g. the 56x72 grid -> 8-wide remainder windows).
+      backend: "auto" (pallas on TPU — measured faster at the flagship shape —
+        XLA elsewhere), "xla" (batched einsum), or "pallas" (fused VMEM-resident
+        softmax kernel, ops/pallas_kernels.py::window_attention_fused; custom
+        VJP with XLA-math backward). Both use the identical per-window
+        key-validity mask, so results match to fp rounding.
+
+    Returns: (B, H, W, C) attended values, dtype of ``v``.
+    """
+    b, h, w, c = q.shape
+    ws = window_size
+    hp = -(-h // ws) * ws
+    wp = -(-w // ws) * ws
+    pad = ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
+    qp, kp, vp = (jnp.pad(t, pad) for t in (q, k, v))
+
+    qw, nh, nw = _window_partition(qp, ws)  # (B, N, T, C)
+    kw, _, _ = _window_partition(kp, ws)
+    vw, _, _ = _window_partition(vp, ws)
+    n, t = qw.shape[1], qw.shape[2]
+    key_valid = _window_key_validity(h, w, hp, wp, ws)  # (N, T)
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        out = _pallas_window_attention(qw, kw, vw, num_heads, jnp.asarray(key_valid))
+        out = out.astype(v.dtype)
+    else:
+        out = _xla_window_attention(qw, kw, vw, num_heads, key_valid)
     out = _window_unpartition(out, ws, nh, nw)
     return out[:, :h, :w, :]

@@ -80,6 +80,31 @@ def test_window_attention_fused_matches_xla_ragged_flagship(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_window_attention_pallas_grad_matches_xla(rng):
+    """backend='pallas' is the live TPU path inside the jitted train step; its
+    custom VJP (XLA-math backward with recomputed logits) must match the plain
+    XLA autodiff gradients on a ragged grid."""
+    from mde_tpu.ops import windowed_cross_attention
+
+    b, h, w, c, heads, ws = 1, 24, 40, 16, 4, 16
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    def loss(backend):
+        def f(q, k, v):
+            out = windowed_cross_attention(q, k, v, heads, ws, backend=backend)
+            return jnp.sum(out**2)
+
+        return f
+
+    gp = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
 def test_window_attention_xla_ragged_vs_dense_reference(rng):
     """XLA windowed path vs a literal per-window numpy attention on a ragged
     grid — validates the mask itself, not just pallas==xla."""
