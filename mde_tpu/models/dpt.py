@@ -101,7 +101,9 @@ class DPT(nn.Module):
             taps = BEiT(self.backbone, name="pretrained")(x, out_indices=hooks, train=train)
         else:
             dim, _, _, patch = VIT_CONFIGS[self.backbone]
-            taps = ViT(self.backbone, pos_grid=(24, 24), name="pretrained")(
+            # timm vit_{base,large}_patch16_384 trunks: no LayerScale.
+            taps = ViT(self.backbone, pos_grid=(24, 24), layerscale=False,
+                       name="pretrained")(
                 x, out_indices=hooks, train=train, raw_taps=True
             )
         b, h, w, _ = x.shape
@@ -158,7 +160,8 @@ class DPT(nn.Module):
         )
         taps = []
         for i in range(12):
-            tokens = Block(dim, 12, name=f"blocks_{i}")(tokens)
+            # timm vit_base_r50_s16_384 blocks: no LayerScale.
+            tokens = Block(dim, 12, layerscale=False, name=f"blocks_{i}")(tokens)
             if i in hooks:
                 taps.append(tokens)
         levels = [s1, s2]

@@ -83,15 +83,23 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     layerscale_init: float = 1e-5
+    # DINOv2 has LayerScale; the timm ViTs the DPT variants bootstrap from
+    # (vit_large_patch16_384 / vit_base_*) do not — plain residuals there, so an
+    # imported timm checkpoint is architecture-exact.
+    layerscale: bool = True
 
     @nn.compact
     def __call__(self, x):
         h = LayerNorm(epsilon=1e-6, name="norm1")(x)
         h = Attention(self.dim, self.num_heads, name="attn")(h)
-        x = x + LayerScale(self.dim, self.layerscale_init, name="ls1")(h)
+        if self.layerscale:
+            h = LayerScale(self.dim, self.layerscale_init, name="ls1")(h)
+        x = x + h
         h = LayerNorm(epsilon=1e-6, name="norm2")(x)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(h)
-        return x + LayerScale(self.dim, self.layerscale_init, name="ls2")(h)
+        if self.layerscale:
+            h = LayerScale(self.dim, self.layerscale_init, name="ls2")(h)
+        return x + h
 
 
 class ViT(nn.Module):
@@ -101,6 +109,7 @@ class ViT(nn.Module):
     mlp_ratio: float = 4.0
     layerscale_init: float = 1e-5
     pos_grid: tuple[int, int] = (37, 37)  # DINOv2 518/14 pretrain grid
+    layerscale: bool = True  # False for the timm vit{b,l}16 families
 
     @nn.compact
     def __call__(
@@ -143,7 +152,8 @@ class ViT(nn.Module):
         outputs = []
         for i in range(depth):
             tokens = Block(
-                dim, heads, self.mlp_ratio, self.layerscale_init, name=f"blocks_{i}"
+                dim, heads, self.mlp_ratio, self.layerscale_init,
+                layerscale=self.layerscale, name=f"blocks_{i}"
             )(tokens)
             if i in take:
                 outputs.append(tokens)

@@ -46,13 +46,16 @@ def remove_module_prefix(key: str) -> str:
     return key[len("module."):] if key.startswith("module.") else key
 
 
-def convert_tensor(kind: str, value: np.ndarray) -> np.ndarray:
+def convert_tensor(kind, value: np.ndarray) -> np.ndarray:
     """Layout conversion torch -> flax.
 
     kind: 'conv' (OIHW->HWIO), 'depthwise_conv' (O,1,H,W -> H,W,1,O),
     'conv_transpose' (I,O,H,W -> H,W,I,O), 'linear' ((out,in)->(in,out)),
-    'none' (copy).
+    'none' (copy), or a callable value->array for irregular conversions
+    (fused-qkv splits, Swin patch-merge channel reorders).
     """
+    if callable(kind):
+        return np.asarray(kind(value))
     if kind == "conv":
         return np.transpose(value, (2, 3, 1, 0))
     if kind == "depthwise_conv":
@@ -408,6 +411,405 @@ def map_midas_semantics_key(key: str):
     return (coll, ("midas",) + path, kind)
 
 
+def _map_torchvision_bottleneck(rest: str, prefix: tuple):
+    """torchvision ResNet Bottleneck naming (conv1/bn1..conv3/bn3, downsample.0/.1)
+    -> nn/resnext.py::Bottleneck."""
+    m = re.match(r"conv([123])\.weight$", rest)
+    if m:
+        return ("params", prefix + (f"conv{m.group(1)}", "Conv_0", "kernel"), "conv")
+    m = re.match(r"bn([123])\.(\w+)$", rest)
+    if m:
+        n, leaf = m.groups()
+        coll, name, kind = _BN_MAP.get(leaf, (None, None, None))
+        if coll:
+            return (coll, prefix + (f"bn{n}", "BatchNorm_0", name), kind)
+        return None
+    m = re.match(r"downsample\.0\.weight$", rest)
+    if m:
+        return ("params", prefix + ("downsample_conv", "Conv_0", "kernel"), "conv")
+    m = re.match(r"downsample\.1\.(\w+)$", rest)
+    if m:
+        coll, name, kind = _BN_MAP.get(m.group(1), (None, None, None))
+        if coll:
+            return (coll, prefix + ("downsample_bn", "BatchNorm_0", name), kind)
+        return None
+    return None
+
+
+def map_midas_net_key(key: str):
+    """MiDaS v2.1 (midas_v21_384.pt) -> models/midas_net.py::MidasNet.
+
+    Encoder naming follows _make_resnet_backbone (src/network/blocks.py:189-199):
+    pretrained.layer1 = Sequential(conv1, bn1, relu, maxpool, resnet.layer1), so
+    layer1.0 is the stem conv, layer1.1 the stem BN and layer1.4.N the stage-1
+    bottlenecks; layer2..4 are the raw torchvision stages. Head Sequential
+    carries convs at 0/2/4 (src/network/midas_net.py:39-47)."""
+    m = re.match(r"pretrained\.layer1\.0\.weight$", key)
+    if m:
+        return ("params", ("pretrained", "conv1", "Conv_0", "kernel"), "conv")
+    m = re.match(r"pretrained\.layer1\.1\.(\w+)$", key)
+    if m:
+        coll, name, kind = _BN_MAP.get(m.group(1), (None, None, None))
+        if coll:
+            return (coll, ("pretrained", "bn1", "BatchNorm_0", name), kind)
+        return None
+    m = re.match(r"pretrained\.layer1\.4\.(\d+)\.(.+)$", key)
+    if m:
+        bi, rest = m.groups()
+        return _map_torchvision_bottleneck(rest, ("pretrained", f"layer1_{bi}"))
+    m = re.match(r"pretrained\.layer([234])\.(\d+)\.(.+)$", key)
+    if m:
+        li, bi, rest = m.groups()
+        return _map_torchvision_bottleneck(rest, ("pretrained", f"layer{li}_{bi}"))
+
+    m = re.match(r"scratch\.layer(\d)_rn\.weight$", key)
+    if m:
+        return ("params", ("scratch", f"layer{m.group(1)}_rn", "Conv_0", "kernel"), "conv")
+    m = re.match(r"scratch\.refinenet(\d)\.resConfUnit(\d)\.conv(\d)\.(weight|bias)$", key)
+    if m:
+        rn, rcu, conv, leaf = m.groups()
+        if rn == "4" and rcu == "1":
+            return None  # dead: refinenet4 runs with a single input
+        path = (f"refinenet{rn}", f"resConfUnit{rcu}", f"conv{conv}", "Conv_0",
+                "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    m = re.match(r"scratch\.output_conv\.([024])\.(weight|bias)$", key)
+    if m:
+        idx, leaf = m.groups()
+        path = (f"output_conv{idx}", "Conv_0", "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    return None
+
+
+def _map_timm_vit_block(rest: str, prefix: tuple):
+    """timm VisionTransformer block naming (no LayerScale) -> nn/vit.py::Block."""
+    m = re.match(r"(norm1|norm2)\.(weight|bias)$", rest)
+    if m:
+        sub, leaf = m.groups()
+        return ("params", prefix + (sub, "LayerNorm_0", _LN_MAP[leaf]), "none")
+    m = re.match(r"attn\.(qkv|proj)\.(weight|bias)$", rest)
+    if m:
+        sub, leaf = m.groups()
+        if leaf == "weight":
+            return ("params", prefix + ("attn", sub, "kernel"), "linear")
+        return ("params", prefix + ("attn", sub, "bias"), "none")
+    m = re.match(r"mlp\.(fc1|fc2)\.(weight|bias)$", rest)
+    if m:
+        sub, leaf = m.groups()
+        if leaf == "weight":
+            return ("params", prefix + ("mlp", sub, "kernel"), "linear")
+        return ("params", prefix + ("mlp", sub, "bias"), "none")
+    return None
+
+
+def _map_dpt_reassembly_and_scratch(key: str):
+    """The shared (non-trunk) surface of every MiDaS DPT checkpoint:
+    pretrained.act_postprocess{1..4} readout/project/resize Sequentials
+    (backbones/utils.py:144-249 naming) plus scratch convs, fusion blocks and
+    the monocular head (dpt_depth.py:68-86,277-285)."""
+    m = re.match(r"pretrained\.act_postprocess(\d)\.0\.project\.0\.(weight|bias)$", key)
+    if m:
+        n, leaf = m.groups()
+        path = (f"readout_{int(n) - 1}", "project",
+                "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "linear" if leaf == "weight" else "none")
+    m = re.match(r"pretrained\.act_postprocess(\d)\.3\.(weight|bias)$", key)
+    if m:
+        n, leaf = m.groups()
+        path = (f"act_postprocess_{int(n) - 1}", "Conv_0",
+                "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    m = re.match(r"pretrained\.act_postprocess([124])\.4\.(weight|bias)$", key)
+    if m:
+        n, leaf = m.groups()
+        if n in ("1", "2"):  # ConvTranspose2d 4x4/s4 and 2x2/s2
+            path = (f"resize_{int(n) - 1}", "kernel" if leaf == "weight" else "bias")
+            return ("params", path, "conv_transpose" if leaf == "weight" else "none")
+        path = ("resize_3", "Conv_0", "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+
+    m = re.match(r"scratch\.layer(\d)_rn\.weight$", key)
+    if m:
+        return ("params", ("scratch", f"layer{m.group(1)}_rn", "Conv_0", "kernel"), "conv")
+    m = re.match(r"scratch\.refinenet(\d)\.resConfUnit(\d)\.conv(\d)\.(weight|bias)$", key)
+    if m:
+        rn, rcu, conv, leaf = m.groups()
+        if rn == "4" and rcu == "1":
+            return None  # dead: refinenet4 runs with a single input
+        path = (f"refinenet{rn}", f"resConfUnit{rcu}", f"conv{conv}", "Conv_0",
+                "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    m = re.match(r"scratch\.refinenet(\d)\.out_conv\.(weight|bias)$", key)
+    if m:
+        rn, leaf = m.groups()
+        path = (f"refinenet{rn}", "out_conv", "Conv_0",
+                "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    m = re.match(r"scratch\.output_conv\.([024])\.(weight|bias)$", key)
+    if m:
+        idx, leaf = m.groups()
+        path = (f"head_conv{idx}", "Conv_0", "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    return None
+
+
+def map_dpt_key(key: str, hybrid: bool = False):
+    """MiDaS DPT checkpoints (dpt_large_384.pt / dpt_hybrid_384.pt) ->
+    models/dpt.py::DPTDepthModel.
+
+    The ViT trunk lives under ``pretrained.model`` (timm vit_large_patch16_384 /
+    vit_base_r50_s16_384 naming). In our tree the plain-ViT trunk is the
+    ``pretrained`` submodule, while the hybrid inlines its ViT blocks and hosts
+    the ResNetV2 stem as ``pretrained_resnet`` (models/dpt.py::_hybrid_levels).
+    The final trunk ``norm`` is unused by DPT's raw-activation taps -> dropped."""
+    vit_prefix = () if hybrid else ("pretrained",)
+    m = re.match(r"pretrained\.model\.(cls_token|pos_embed)$", key)
+    if m:
+        return ("params", vit_prefix + (m.group(1),), "none")
+    m = re.match(r"pretrained\.model\.patch_embed\.proj\.(weight|bias)$", key)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return ("params", vit_prefix + ("patch_embed", leaf),
+                "conv" if leaf == "kernel" else "none")
+    m = re.match(r"pretrained\.model\.blocks\.(\d+)\.(.+)$", key)
+    if m:
+        i, rest = m.groups()
+        return _map_timm_vit_block(rest, vit_prefix + (f"blocks_{i}",))
+    if re.match(r"pretrained\.model\.norm\.(weight|bias)$", key):
+        return None  # dead: DPT taps raw block outputs, never the final norm
+
+    if hybrid:
+        m = re.match(r"pretrained\.model\.patch_embed\.backbone\.(.+)$", key)
+        if m:
+            return _map_resnetv2_key(m.group(1), ("pretrained_resnet",))
+
+    return _map_dpt_reassembly_and_scratch(key)
+
+
+def _map_resnetv2_key(rest: str, prefix: tuple):
+    """timm ResNetV2 (BiT) naming -> nn/resnetv2.py::ResNetV2Stem.
+    GroupNormAct 'norm{n}' -> gn{n}; preact downsample carries only a conv."""
+    m = re.match(r"stem\.conv\.weight$", rest)
+    if m:
+        return ("params", prefix + ("conv_stem", "kernel"), "conv")
+    m = re.match(r"stem\.norm\.(weight|bias)$", rest)
+    if m:
+        return ("params", prefix + ("gn_stem", _LN_MAP[m.group(1)]), "none")
+    m = re.match(r"stages\.(\d)\.blocks\.(\d+)\.(.+)$", rest)
+    if m:
+        si, bi, sub = m.groups()
+        block = prefix + (f"stage{si}_block{bi}",)
+        m2 = re.match(r"conv([123])\.weight$", sub)
+        if m2:
+            return ("params", block + (f"conv{m2.group(1)}", "kernel"), "conv")
+        m2 = re.match(r"norm([123])\.(weight|bias)$", sub)
+        if m2:
+            return ("params", block + (f"gn{m2.group(1)}", _LN_MAP[m2.group(2)]), "none")
+        m2 = re.match(r"downsample\.conv\.weight$", sub)
+        if m2:
+            return ("params", block + ("downsample", "kernel"), "conv")
+        return None
+    return None
+
+
+def map_depth_anything_key(key: str):
+    """Depth-Anything-V2 release checkpoints -> models/depth_anything.py.
+
+    DA-V2 names its DINOv2 trunk ``pretrained`` and its DPTHead ``depth_head``
+    with the same projects/resize_layers/scratch surface as the reference's
+    Dinov2Head (src/network/dpt_depth.py:32-153, itself vendored from DA). The
+    head's final 1x1 (output_conv2.2) is our top-level ``final`` conv."""
+    if key.startswith("pretrained."):
+        return map_dinov2_key(key[len("pretrained."):], prefix=("pretrained",))
+    m = re.match(r"depth_head\.scratch\.output_conv2\.2\.(weight|bias)$", key)
+    if m:
+        leaf = m.group(1)
+        path = ("final", "Conv_0", "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    if key.startswith("depth_head."):
+        return map_dinov2_head_key(key[len("depth_head."):], prefix=("depth_head",))
+    return None
+
+
+def _split_qkv_weight(part: int):
+    """Fused timm qkv weight (3C, C) -> transposed (C, C) slice for q/k/v."""
+    def fn(w):
+        c = w.shape[0] // 3
+        return np.transpose(w[part * c:(part + 1) * c], (1, 0))
+    return fn
+
+
+def map_dpt_beit_key(key: str):
+    """MiDaS dpt_beit_*.pt -> DPTDepthModel(backbone=beit*). timm BEiT trunk
+    under ``pretrained.model``: fused qkv weight fans out to our separate
+    q/k/v Denses (k bias-free — the BEiT quirk, nn/beit.py), gamma_1/gamma_2
+    LayerScales, per-block relative_position_bias_table (index buffers are
+    recomputed, not loaded)."""
+    m = re.match(r"pretrained\.model\.(.+)$", key)
+    if m:
+        rest = m.group(1)
+        if rest == "cls_token":
+            return ("params", ("pretrained", "cls_token"), "none")
+        m2 = re.match(r"patch_embed\.proj\.(weight|bias)$", rest)
+        if m2:
+            leaf = "kernel" if m2.group(1) == "weight" else "bias"
+            return ("params", ("pretrained", "patch_embed", leaf),
+                    "conv" if leaf == "kernel" else "none")
+        m2 = re.match(r"blocks\.(\d+)\.(.+)$", rest)
+        if m2:
+            i, sub = m2.groups()
+            block = ("pretrained", f"blocks_{i}")
+            m3 = re.match(r"(norm1|norm2)\.(weight|bias)$", sub)
+            if m3:
+                return ("params", block + (m3.group(1), "LayerNorm_0",
+                                           _LN_MAP[m3.group(2)]), "none")
+            m3 = re.match(r"(gamma_1|gamma_2)$", sub)
+            if m3:
+                return ("params", block + (m3.group(1), "gamma"), "none")
+            if sub == "attn.qkv.weight":
+                return [
+                    ("params", block + ("attn", "q", "kernel"), _split_qkv_weight(0)),
+                    ("params", block + ("attn", "k", "kernel"), _split_qkv_weight(1)),
+                    ("params", block + ("attn", "v", "kernel"), _split_qkv_weight(2)),
+                ]
+            if sub == "attn.q_bias":
+                return ("params", block + ("attn", "q", "bias"), "none")
+            if sub == "attn.v_bias":
+                return ("params", block + ("attn", "v", "bias"), "none")
+            if sub == "attn.k_bias":
+                return None  # structurally zero in BEiT
+            if sub == "attn.relative_position_bias_table":
+                return ("params", block + ("attn", "relative_position_bias_table"), "none")
+            if sub == "attn.relative_position_index":
+                return None  # deterministic, recomputed (nn/beit.py)
+            m3 = re.match(r"attn\.proj\.(weight|bias)$", sub)
+            if m3:
+                leaf = m3.group(1)
+                if leaf == "weight":
+                    return ("params", block + ("attn", "proj", "kernel"), "linear")
+                return ("params", block + ("attn", "proj", "bias"), "none")
+            m3 = re.match(r"mlp\.(fc1|fc2)\.(weight|bias)$", sub)
+            if m3:
+                fc, leaf = m3.groups()
+                if leaf == "weight":
+                    return ("params", block + ("mlp", fc, "kernel"), "linear")
+                return ("params", block + ("mlp", fc, "bias"), "none")
+            return None
+        if re.match(r"(norm|fc_norm|head)\.", rest):
+            return None  # classification leftovers, unused by DPT taps
+        return None
+    return _map_dpt_reassembly_and_scratch(key)
+
+
+# timm PatchMerging concatenates (even,even),(odd,even),(even,odd),(odd,odd);
+# our reshape yields (even,even),(even,odd),(odd,even),(odd,odd) — channel
+# groups 1 and 2 swap.
+_MERGE_PERM = (0, 2, 1, 3)
+
+
+def _merge_reduction_weight(w):
+    """timm reduction (2C, 4C) -> our kernel (4C, 2C) with group reorder."""
+    wt = np.transpose(w, (1, 0))
+    c = wt.shape[0] // 4
+    return np.concatenate([wt[p * c:(p + 1) * c] for p in _MERGE_PERM], axis=0)
+
+
+def _merge_norm_vec(v):
+    """Reorder a 4C-length LayerNorm vector into our channel grouping."""
+    c = v.shape[0] // 4
+    return np.concatenate([v[p * c:(p + 1) * c] for p in _MERGE_PERM], axis=0)
+
+
+def _preprocess_swin_v2(sd: dict) -> dict:
+    """Fuse timm SwinV2's separate q_bias/v_bias into a (3C,) qkv bias (k third
+    zero — exactly how timm composes it at forward time)."""
+    out = dict(sd)
+    for key in list(sd):
+        m = re.match(r"(.*attn)\.q_bias$", key)
+        if not m:
+            continue
+        base = m.group(1)
+        q = np.asarray(sd[f"{base}.q_bias"])
+        v = np.asarray(sd[f"{base}.v_bias"])
+        out[f"{base}.qkv.bias"] = np.concatenate([q, np.zeros_like(q), v])
+        out.pop(f"{base}.q_bias", None)
+        out.pop(f"{base}.v_bias", None)
+    return out
+
+
+def map_dpt_swin_key(key: str, version: int = 1):
+    """MiDaS dpt_swin*_*.pt -> DPTDepthModel(backbone=swin*). timm Swin trunk
+    under ``pretrained.model``; hierarchical stages feed the scratch directly
+    (no act_postprocess keys). Handles both V1 (relative_position_bias_table,
+    fused qkv bias) and V2 (logit_scale + cpb_mlp; q/v biases pre-fused by
+    _preprocess_swin_v2). timm's downsample follows stage i's blocks — ours is
+    ``merge{i+1}`` before stage i+1's — and its 2x2 concat order differs, so
+    the reduction weight's input groups are permuted, as is the V1 norm vector
+    (V1 norms the 4C concat; V2 norms the 2C reduction output, where both
+    sides already agree)."""
+    m = re.match(r"pretrained\.model\.(.+)$", key)
+    if not m:
+        return _map_dpt_reassembly_and_scratch(key)
+    rest = m.group(1)
+    m2 = re.match(r"patch_embed\.proj\.(weight|bias)$", rest)
+    if m2:
+        leaf = "kernel" if m2.group(1) == "weight" else "bias"
+        return ("params", ("pretrained", "patch_embed", leaf),
+                "conv" if leaf == "kernel" else "none")
+    m2 = re.match(r"patch_embed\.norm\.(weight|bias)$", rest)
+    if m2:
+        return ("params", ("pretrained", "patch_norm", "LayerNorm_0",
+                           _LN_MAP[m2.group(1)]), "none")
+    m2 = re.match(r"layers\.(\d)\.downsample\.reduction\.weight$", rest)
+    if m2:
+        return ("params", ("pretrained", f"merge{int(m2.group(1)) + 1}",
+                           "reduction", "kernel"), _merge_reduction_weight)
+    m2 = re.match(r"layers\.(\d)\.downsample\.norm\.(weight|bias)$", rest)
+    if m2:
+        si, leaf = m2.groups()
+        path = ("pretrained", f"merge{int(si) + 1}", "norm", "LayerNorm_0", _LN_MAP[leaf])
+        return ("params", path, _merge_norm_vec if version == 1 else "none")
+    m2 = re.match(r"layers\.(\d)\.blocks\.(\d+)\.(.+)$", rest)
+    if m2:
+        si, bi, sub = m2.groups()
+        block = ("pretrained", f"stage{si}_block{bi}")
+        m3 = re.match(r"(norm1|norm2)\.(weight|bias)$", sub)
+        if m3:
+            return ("params", block + (m3.group(1), "LayerNorm_0",
+                                       _LN_MAP[m3.group(2)]), "none")
+        m3 = re.match(r"attn\.(qkv|proj)\.(weight|bias)$", sub)
+        if m3:
+            which, leaf = m3.groups()
+            if leaf == "weight":
+                return ("params", block + ("attn", which, "kernel"), "linear")
+            return ("params", block + ("attn", which, "bias"), "none")
+        if sub == "attn.relative_position_bias_table":
+            return ("params", block + ("attn", "relative_position_bias_table"), "none")
+        if sub == "attn.logit_scale":
+            return ("params", block + ("attn", "logit_scale"), "none")
+        m3 = re.match(r"attn\.cpb_mlp\.0\.(weight|bias)$", sub)
+        if m3:
+            leaf = m3.group(1)
+            if leaf == "weight":
+                return ("params", block + ("attn", "cpb_fc1", "kernel"), "linear")
+            return ("params", block + ("attn", "cpb_fc1", "bias"), "none")
+        if sub == "attn.cpb_mlp.2.weight":
+            return ("params", block + ("attn", "cpb_fc2", "kernel"), "linear")
+        m3 = re.match(r"mlp\.(fc1|fc2)\.(weight|bias)$", sub)
+        if m3:
+            fc, leaf = m3.groups()
+            if leaf == "weight":
+                return ("params", block + ("mlp", fc, "kernel"), "linear")
+            return ("params", block + ("mlp", fc, "bias"), "none")
+        if re.match(r"attn\.(relative_position_index|relative_coords_table)$", sub) or \
+                sub == "attn_mask":
+            return None  # deterministic buffers, recomputed (nn/swin.py)
+        return None
+    if re.match(r"(norm|head)\.", rest):
+        return None  # final classification norm/head, unused by stage taps
+    return None
+
+
 def import_state_dict(
     torch_sd: dict,
     params,
@@ -430,33 +832,74 @@ def import_state_dict(
         if mapped is None:
             report["unmapped"].append(tkey)
             continue
-        collection, path, kind = mapped
-        target = flat_params if collection == "params" else flat_stats
-        if path not in target:
-            report["unmapped"].append(tkey)
-            continue
-        converted = convert_tensor(kind, tval)
-        if tuple(converted.shape) != tuple(np.shape(target[path])):
-            report["shape_mismatch"].append(tkey)
-            continue
-        target[path] = converted.astype(np.asarray(target[path]).dtype)
-        report["loaded"] += 1
+        # A map may fan one torch tensor out to several leaves (fused qkv ->
+        # separate q/k/v Denses); a single entry counts as one loaded key, a
+        # fan-out counts once when every target leaf merged.
+        entries = mapped if isinstance(mapped, list) else [mapped]
+        ok = True
+        for collection, path, kind in entries:
+            target = flat_params if collection == "params" else flat_stats
+            if path not in target:
+                report["unmapped"].append(tkey)
+                ok = False
+                break
+            converted = convert_tensor(kind, tval)
+            if tuple(converted.shape) != tuple(np.shape(target[path])):
+                report["shape_mismatch"].append(tkey)
+                ok = False
+                break
+            target[path] = converted.astype(np.asarray(target[path]).dtype)
+        if ok:
+            report["loaded"] += 1
 
     new_params = traverse_util.unflatten_dict(flat_params)
     new_stats = traverse_util.unflatten_dict(flat_stats) if flat_stats else batch_stats
     return new_params, new_stats, report
 
 
-def import_torch_checkpoint(path: str, params, batch_stats, model_type: str = "U_Net"):
-    key_maps = {
-        "U_Net": map_simple_unet_key,
-        "MiDaS_small": map_midas_small_key,
-        "MiDaS_semantics": map_midas_semantics_key,
-        "dinov2": map_dinov2_key,
+def _key_map_registry():
+    import functools
+
+    swin_v1 = functools.partial(map_dpt_swin_key, version=1)
+    swin_v2 = functools.partial(map_dpt_swin_key, version=2)
+    dpt_vit = map_dpt_key
+    dpt_hybrid = functools.partial(map_dpt_key, hybrid=True)
+    # model_type -> (key_map, state-dict preprocessor or None). Factory names
+    # (src/main.py:395-465) and model_loader checkpoint names both resolve.
+    return {
+        "U_Net": (map_simple_unet_key, None),
+        "MiDaS_small": (map_midas_small_key, None),
+        "midas_v21_small_256": (map_midas_small_key, None),
+        "MiDaS_semantics": (map_midas_semantics_key, None),
+        "dinov2": (map_dinov2_key, None),
+        "MiDaS": (map_midas_net_key, None),
+        "midas_v21_384": (map_midas_net_key, None),
+        "DPT_Large": (dpt_vit, None),
+        "dpt_large_384": (dpt_vit, None),
+        "DPT_Hybrid": (dpt_hybrid, None),
+        "dpt_hybrid_384": (dpt_hybrid, None),
+        "dpt_beit_large_512": (map_dpt_beit_key, None),
+        "dpt_beit_large_384": (map_dpt_beit_key, None),
+        "dpt_beit_base_384": (map_dpt_beit_key, None),
+        "dpt_swin_large_384": (swin_v1, None),
+        "dpt_swin2_large_384": (swin_v2, _preprocess_swin_v2),
+        "dpt_swin2_base_384": (swin_v2, _preprocess_swin_v2),
+        "dpt_swin2_tiny_256": (swin_v2, _preprocess_swin_v2),
+        "DepthAnythingV2_vits": (map_depth_anything_key, None),
+        "DepthAnythingV2_vitb": (map_depth_anything_key, None),
+        "DepthAnythingV2_vitl": (map_depth_anything_key, None),
     }
-    if model_type not in key_maps:
+
+
+def import_torch_checkpoint(path: str, params, batch_stats, model_type: str = "U_Net"):
+    registry = _key_map_registry()
+    if model_type not in registry:
         raise NotImplementedError(
-            f"torch import map for {model_type!r} not implemented yet (have: {list(key_maps)})"
+            f"torch import map for {model_type!r} not implemented yet "
+            f"(have: {sorted(registry)})"
         )
+    key_map, preprocess = registry[model_type]
     sd = load_torch_state_dict(path)
-    return import_state_dict(sd, params, batch_stats, key_maps[model_type])
+    if preprocess is not None:
+        sd = preprocess(sd)
+    return import_state_dict(sd, params, batch_stats, key_map)

@@ -92,7 +92,10 @@ def test_model_loader_table():
     assert size == (256, 256)
     sample = {"image": np.random.default_rng(0).random((300, 400, 3)).astype(np.float32)}
     out = transform(sample)
-    assert out["image"].shape[0] == 3  # CHW after PrepareForNet
+    # HWC (NHWC framework; the reference's CHW transpose was a torch-ism),
+    # sides snapped to /32 by the swin256 pipeline.
+    assert out["image"].shape[-1] == 3
+    assert out["image"].shape[0] % 32 == 0 and out["image"].shape[1] % 32 == 0
     with pytest.raises(NotImplementedError):
         load_model("openvino_midas_v21_small_256")
     with pytest.raises(ValueError):
