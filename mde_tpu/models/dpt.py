@@ -89,7 +89,13 @@ class DPT(nn.Module):
     features: int = 256
     readout: str = "project"
     non_negative: bool = True
-    head_out_1: bool = True  # False => stop at 32-ch features
+    head_out_1: bool = True  # False => stop at the head_features_2 maps
+    # DPTDepthModel head widths (dpt_depth.py:269-287): the head's first conv
+    # consumes head_features_1 (= features unless overridden — dpt_levit_224
+    # passes 64 because its stem_transpose ends at features//4) and its second
+    # emits head_features_2 (32 default, 8 for levit).
+    head_features_1: Optional[int] = None
+    head_features_2: int = 32
     axis_name: Optional[str] = None
 
     def _token_levels(self, x, train):
@@ -192,6 +198,8 @@ class DPT(nn.Module):
             levels = list(NextViT(axis_name=self.axis_name, name="pretrained")(x, train=train))
         elif bb == "levit_384":
             levels = list(LeViT(axis_name=self.axis_name, name="pretrained")(x, train=train))
+            # stem_b4_transpose(256, 128): features -> features//2 -> features//4
+            # (dpt_depth.py:221 hardcodes the 256-feature schedule).
             stem_transpose = StemB4Transpose(
                 self.features // 2, train, self.axis_name, name="stem_transpose"
             )
@@ -225,10 +233,10 @@ class DPT(nn.Module):
 
         # Monocular head (dpt_depth.py:277-285); its Interpolate uses
         # align_corners=True, unlike the MiDaS-small head.
-        head_in = path_1.shape[-1]
-        hft = Conv(head_in // 2, 3, 1, 1, name="head_conv0")(path_1)
+        hf1 = self.head_features_1 or path_1.shape[-1]
+        hft = Conv(hf1 // 2, 3, 1, 1, name="head_conv0")(path_1)
         hft = interpolate(hft, scale_factor=2, align_corners=True)
-        hft = Conv(32, 3, 1, 1, name="head_conv2")(hft)
+        hft = Conv(self.head_features_2, 3, 1, 1, name="head_conv2")(hft)
         hft = nn.relu(hft)
         if not self.head_out_1:
             return hft

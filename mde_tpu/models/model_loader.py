@@ -30,7 +30,7 @@ DEFAULT_MODELS = {
     "dpt_swin2_tiny_256": (dict(backbone="swin2t16_256"), (256, 256), "swin256"),
     "dpt_swin_large_384": (dict(backbone="swinl12_384"), (384, 384), "swin384"),
     "dpt_next_vit_large_384": (dict(backbone="next_vit_large_6m"), (384, 384), "dpt"),
-    "dpt_levit_224": (dict(backbone="levit_384", features=64, head_out_1=True), (224, 224), "levit"),
+    "dpt_levit_224": (dict(backbone="levit_384", head_features_1=64, head_features_2=8), (224, 224), "levit"),
     "dpt_large_384": (dict(backbone="vitl16_384"), (384, 384), "dpt"),
     "dpt_hybrid_384": (dict(backbone="vitb_rn50_384"), (384, 384), "dpt"),
     "midas_v21_384": ("midas", (384, 384), "default"),

@@ -117,12 +117,24 @@ class LevitMlp(nn.Module):
 
 
 class LeViT(nn.Module):
-    """levit_384; __call__ -> (stage1 /16, stage2 /32, stage3 /64) NHWC maps."""
+    """levit_384; __call__ -> 3 NHWC maps at /16, /32, /64.
+
+    Taps follow the reference's flat-block hook indices [3, 11, 21]
+    (dpt_depth.py:182, _make_levit_backbone levit.py:23-52): stage 1 after its
+    2nd attention+MLP pair, stages 2/3 after their 1st — NOT at stage ends. In
+    timm's flat ``blocks`` Sequential each pair occupies two slots and each
+    inter-stage AttentionSubsample+MLP two more, so levit_384 runs 0..27 and
+    the hooks land mid-stage. Post-tap stage-1/2 blocks still run (they feed
+    the next stage); stage-3 blocks past the last tap (flat 22..27) are dead
+    compute in the reference — the hook output never depends on them — so we
+    neither build nor run them (their checkpoint keys are documented dead in
+    train/torch_import.py::map_dpt_levit_key)."""
 
     dims: tuple = (384, 512, 768)
     heads: tuple = (6, 9, 12)
     depths: tuple = (4, 4, 4)
     key_dim: int = 32
+    hooks: tuple = (3, 11, 21)
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -141,6 +153,8 @@ class LeViT(nn.Module):
 
         feats = []
         grid = (gh, gw)
+        flat = 0  # timm flat block index
+        last_hook = max(self.hooks)
         for si, (dim, nh, depth) in enumerate(zip(self.dims, self.heads, self.depths)):
             if si > 0:
                 # Attention subsample: queries on the /2 grid, out_dim = new dim.
@@ -155,7 +169,10 @@ class LeViT(nn.Module):
                 res = tokens
                 mlp = LevitMlp(dim, 2, train, self.axis_name, name=f"downsample{si}_mlp")
                 tokens = res + mlp(tokens)
+                flat += 2
             for bi in range(depth):
+                if flat > last_hook:
+                    break  # dead tail of the final stage
                 tokens = tokens + LevitAttention(
                     dim, self.key_dim, nh, 2, grid,
                     train=train, axis_name=self.axis_name,
@@ -164,15 +181,20 @@ class LeViT(nn.Module):
                 tokens = tokens + LevitMlp(
                     dim, 2, train, self.axis_name, name=f"stage{si}_mlp{bi}"
                 )(tokens)
-            feats.append(tokens.reshape(b, grid[0], grid[1], dim))
+                if flat in self.hooks or flat + 1 in self.hooks:
+                    feats.append(tokens.reshape(b, grid[0], grid[1], dim))
+                flat += 2
         return tuple(feats)
 
 
 class StemB4Transpose(nn.Module):
-    """The DPT-LeViT 2x upsampling head stem (backbones/levit.py:86-96):
-    two ConvTranspose+hardswish stages halving channels."""
+    """The DPT-LeViT 4x upsampling head stem: stem_b4_transpose(in, out, hswish)
+    (backbones/levit.py:86-96) = ConvTransposeNorm(in->out, k3 s2 p1, bias-free
+    + BN) + hardswish, then ConvTransposeNorm(out->out//2) + hardswish. The
+    reference hardcodes (256, 128) so the head sees 64 channels
+    (dpt_depth.py:221)."""
 
-    out_channels: int
+    out_channels: int  # first stage's output; second halves it again
     train: bool = False
     axis_name: Optional[str] = None
 
@@ -180,7 +202,9 @@ class StemB4Transpose(nn.Module):
     def __call__(self, x):
         from .blocks import ConvTranspose
 
-        x = ConvTranspose(x.shape[-1] // 2, 4, 2, 1, name="up1")(x)
+        x = ConvTranspose(self.out_channels, 3, 2, 1, use_bias=False, name="up1")(x)
+        x = BatchNorm(not self.train, self.axis_name, name="up1_bn")(x)
         x = nn.hard_swish(x)
-        x = ConvTranspose(self.out_channels, 4, 2, 1, name="up2")(x)
+        x = ConvTranspose(self.out_channels // 2, 3, 2, 1, use_bias=False, name="up2")(x)
+        x = BatchNorm(not self.train, self.axis_name, name="up2_bn")(x)
         return nn.hard_swish(x)

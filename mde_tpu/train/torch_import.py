@@ -810,6 +810,242 @@ def map_dpt_swin_key(key: str, version: int = 1):
     return None
 
 
+# --------------------------------------------------------------------- LeViT
+
+# levit_384 per-flat-block config for the fixed 224x224 checkpoint geometry
+# (timm levit_384; the reference taps flat blocks [3, 11, 21] —
+# dpt_depth.py:182). dims (384, 512, 768), key_dim 32, heads (6, 9, 12),
+# attn_ratio 2 (subsamples: heads in_dim//32, ratio 4). Grids: stage0 14x14,
+# stage1 7x7, stage2 4x4.
+_LEVIT_KD = 32
+
+
+def _levit_flat_config(flat: int):
+    """flat block index -> (kind, our_name, attn_cfg) for levit_384.
+
+    kind: 'attn' | 'mlp' | 'ds_attn' | 'ds_mlp' | None (dead tail 22..27).
+    attn_cfg for attention kinds: (nh, kd, vd, grid_hw, stride).
+    """
+    stage_dims = (384, 512, 768)
+    grids = ((14, 14), (7, 7), (4, 4))
+    heads = (6, 9, 12)
+    if 0 <= flat <= 7 or 10 <= flat <= 17 or 20 <= flat <= 21:
+        si = 0 if flat <= 7 else (1 if flat <= 17 else 2)
+        local = flat - (0, 10, 20)[si]
+        bi, is_attn = local // 2, local % 2 == 0
+        if is_attn:
+            nh = heads[si]
+            return ("attn", f"stage{si}_attn{bi}",
+                    (nh, _LEVIT_KD, 2 * _LEVIT_KD, grids[si], 1))
+        return ("mlp", f"stage{si}_mlp{bi}", None)
+    if flat in (8, 18):
+        ds = 1 if flat == 8 else 2
+        in_dim = stage_dims[ds - 1]
+        nh = in_dim // _LEVIT_KD
+        return ("ds_attn", f"downsample{ds}_attn",
+                (nh, _LEVIT_KD, 4 * _LEVIT_KD, grids[ds - 1], 2))
+    if flat in (9, 19):
+        ds = 1 if flat == 9 else 2
+        return ("ds_mlp", f"downsample{ds}_mlp", None)
+    return (None, None, None)  # 22..27: dead tail (nn/levit.py docstring)
+
+
+def _levit_bias_perm(nh_unused, grid, stride):
+    """Column permutation timm attention_biases -> our lexicographic table.
+
+    timm orders offsets by first occurrence while iterating (q, k) point pairs;
+    ours is np.unique's lexicographic sort over the same offset set
+    (nn/levit.py::_bias_index). Both are deterministic in (grid, stride)."""
+    h, w = grid
+    pts = [(i, j) for i in range(h) for j in range(w)]
+    qpts = pts if stride == 1 else [
+        (i, j) for i in range(0, h, stride) for j in range(0, w, stride)
+    ]
+    order = {}
+    for p1 in qpts:
+        for p2 in pts:
+            off = (abs(p1[0] - p2[0]), abs(p1[1] - p2[1]))
+            if off not in order:
+                order[off] = len(order)
+    ours = sorted(order)  # lexicographic == np.unique axis=0 ordering
+    return [order[off] for off in ours]
+
+
+def _levit_table_conv(grid, stride):
+    perm = None
+
+    def fn(tbl):
+        nonlocal perm
+        if perm is None:
+            perm = _levit_bias_perm(None, grid, stride)
+        return np.asarray(tbl)[:, perm]
+
+    return fn
+
+
+def _rows_T(rows):
+    """Weight gather: timm (H_out, C_in) rows -> our kernel (C_in, len(rows))."""
+    return lambda w: np.transpose(np.asarray(w)[rows], (1, 0))
+
+
+def _rows_v(rows):
+    """BN-vector gather."""
+    return lambda v: np.asarray(v)[rows]
+
+
+def _levit_qkv_rows(nh, kd, vd):
+    """Row indices of q / k / v features in timm's fused per-head [q|k|v] qkv."""
+    span = 2 * kd + vd
+    q = [h * span + i for h in range(nh) for i in range(kd)]
+    k = [h * span + kd + i for h in range(nh) for i in range(kd)]
+    v = [h * span + 2 * kd + i for h in range(nh) for i in range(vd)]
+    return q, k, v
+
+
+def _levit_kv_rows(nh, kd, vd):
+    """Row indices of k / v in timm's per-head [k|v] subsample kv."""
+    span = kd + vd
+    k = [h * span + i for h in range(nh) for i in range(kd)]
+    v = [h * span + kd + i for h in range(nh) for i in range(vd)]
+    return k, v
+
+
+def _linearbn_entries(prefix: tuple, leaf: str, conv):
+    """One timm LinearNorm ('c'/'bn') leaf -> our LinearBN module, with
+    ``conv`` applied (callable or 'linear'/'none')."""
+    if leaf == "c.weight":
+        return [("params", prefix + ("linear", "kernel"), conv)]
+    m = re.match(r"bn\.(\w+)$", leaf)
+    if m:
+        coll, name, _ = _BN_MAP.get(m.group(1), (None, None, None))
+        if coll:
+            return [(coll, prefix + ("bn", "BatchNorm_0", name), conv)]
+    return None
+
+
+def map_dpt_levit_key(key: str):
+    """MiDaS dpt_levit_224.pt -> DPTDepthModel(backbone=levit_384,
+    head_features_1=64, head_features_2=8).
+
+    timm levit_384 under ``pretrained.model``: BN-everywhere LinearNorm
+    ('c'+'bn') modules; regular attention packs per-head [q|k|v] into one fused
+    LinearNorm which fans out to our kv-fused + separate-q layout
+    (nn/levit.py::LevitAttention) with row gathers on both the weight and the
+    BN vectors; attention_biases columns are permuted from timm's
+    first-occurrence offset order to our lexicographic one. Flat blocks 22..27
+    are the post-hook dead tail (never influence the [3,11,21] taps) and flag
+    as dead, as do the attention_bias_idxs buffers and classification heads.
+    Valid for the fixed 224x224 checkpoint geometry only."""
+    m = re.match(r"pretrained\.model\.(.+)$", key)
+    if m:
+        rest = m.group(1)
+        m2 = re.match(r"patch_embed\.([0246])\.(c\.weight|bn\.\w+)$", rest)
+        if m2:
+            idx, leaf = m2.groups()
+            i = int(idx) // 2
+            if leaf == "c.weight":
+                return ("params", ("pretrained", f"stem_conv{i}", "Conv_0", "kernel"),
+                        "conv")
+            coll, name, kind = _BN_MAP.get(leaf[3:], (None, None, None))
+            if coll:
+                return (coll, ("pretrained", f"stem_bn{i}", "BatchNorm_0", name), kind)
+            return None
+        m2 = re.match(r"blocks\.(\d+)\.(.+)$", rest)
+        if m2:
+            flat, sub = int(m2.group(1)), m2.group(2)
+            kind, our, cfg = _levit_flat_config(flat)
+            if kind is None:
+                return None  # dead tail
+            base = ("pretrained", our)
+            if kind in ("mlp", "ds_mlp"):
+                m3 = re.match(r"m\.([02])\.(c\.weight|bn\.\w+)$", sub)
+                if m3:
+                    fc = "fc1" if m3.group(1) == "0" else "fc2"
+                    conv = "linear" if m3.group(2) == "c.weight" else None
+                    ent = _linearbn_entries(base + (fc,), m3.group(2),
+                                            conv or _bn_kind(m3.group(2)))
+                    return ent[0] if ent else None
+                return None
+            nh, kd, vd, grid, stride = cfg
+            inner = sub[2:] if kind == "attn" else sub  # strip Residual 'm.'
+            if kind == "attn" and not sub.startswith("m."):
+                return None
+            if inner == "attention_biases":
+                return ("params", base + ("attention_biases",),
+                        _levit_table_conv(grid, stride))
+            if inner == "attention_bias_idxs":
+                return None  # deterministic buffer, rebuilt per grid
+            m3 = re.match(r"proj\.1\.(c\.weight|bn\.\w+)$", inner)
+            if m3:
+                conv = "linear" if m3.group(1) == "c.weight" else _bn_kind(m3.group(1))
+                ent = _linearbn_entries(base + ("proj",), m3.group(1), conv)
+                return ent[0] if ent else None
+            if kind == "attn":
+                m3 = re.match(r"qkv\.(c\.weight|bn\.\w+)$", inner)
+                if m3:
+                    leaf = m3.group(1)
+                    qr, kr, vr = _levit_qkv_rows(nh, kd, vd)
+                    if leaf == "c.weight":
+                        return [
+                            ("params", base + ("q", "linear", "kernel"), _rows_T(qr)),
+                            ("params", base + ("kv", "linear", "kernel"),
+                             _rows_T(kr + vr)),
+                        ]
+                    coll, name, _ = _BN_MAP.get(leaf[3:], (None, None, None))
+                    if not coll:
+                        return None
+                    return [
+                        (coll, base + ("q", "bn", "BatchNorm_0", name), _rows_v(qr)),
+                        (coll, base + ("kv", "bn", "BatchNorm_0", name),
+                         _rows_v(kr + vr)),
+                    ]
+                return None
+            # ds_attn: separate q (Sequential(Subsample, LinearNorm) -> q.1),
+            # fused kv with per-head [k|v] needing the block-layout reorder.
+            m3 = re.match(r"q\.1\.(c\.weight|bn\.\w+)$", inner)
+            if m3:
+                conv = "linear" if m3.group(1) == "c.weight" else _bn_kind(m3.group(1))
+                ent = _linearbn_entries(base + ("q",), m3.group(1), conv)
+                return ent[0] if ent else None
+            m3 = re.match(r"kv\.(c\.weight|bn\.\w+)$", inner)
+            if m3:
+                leaf = m3.group(1)
+                kr, vr = _levit_kv_rows(nh, kd, vd)
+                if leaf == "c.weight":
+                    return ("params", base + ("kv", "linear", "kernel"),
+                            _rows_T(kr + vr))
+                coll, name, _ = _BN_MAP.get(leaf[3:], (None, None, None))
+                if not coll:
+                    return None
+                return (coll, base + ("kv", "bn", "BatchNorm_0", name),
+                        _rows_v(kr + vr))
+            return None
+        if re.match(r"(head|head_dist)\.", rest):
+            return None  # classification heads, unused by DPT
+        return None
+
+    # scratch: 3-level cascade (refinenet1..3; refinenet3 runs single-input so
+    # its resConfUnit1 is dead) + the stem_transpose ConvTransposeNorm pair.
+    m = re.match(r"scratch\.stem_transpose\.([02])\.(c\.weight|bn\.\w+)$", key)
+    if m:
+        idx, leaf = m.groups()
+        up = "up1" if idx == "0" else "up2"
+        if leaf == "c.weight":
+            return ("params", ("stem_transpose", up, "kernel"), "conv_transpose")
+        coll, name, kind = _BN_MAP.get(leaf[3:], (None, None, None))
+        if coll:
+            return (coll, ("stem_transpose", f"{up}_bn", "BatchNorm_0", name), kind)
+        return None
+    m = re.match(r"scratch\.refinenet3\.resConfUnit1\.", key)
+    if m:
+        return None  # dead: 3-level cascade calls refinenet3 with one input
+    return _map_dpt_reassembly_and_scratch(key)
+
+
+def _bn_kind(leaf: str):
+    return "none"
+
+
 def import_state_dict(
     torch_sd: dict,
     params,
@@ -885,6 +1121,7 @@ def _key_map_registry():
         "dpt_swin2_large_384": (swin_v2, _preprocess_swin_v2),
         "dpt_swin2_base_384": (swin_v2, _preprocess_swin_v2),
         "dpt_swin2_tiny_256": (swin_v2, _preprocess_swin_v2),
+        "dpt_levit_224": (map_dpt_levit_key, None),
         "DepthAnythingV2_vits": (map_depth_anything_key, None),
         "DepthAnythingV2_vitb": (map_depth_anything_key, None),
         "DepthAnythingV2_vitl": (map_depth_anything_key, None),

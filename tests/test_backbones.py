@@ -15,19 +15,23 @@ from mde_tpu.nn.swin import SwinBackbone, swin_stage_channels
 
 
 @pytest.mark.parametrize(
-    "backbone,size",
+    "backbone,size,out_size",
     [
-        ("swin2t16_256", (64, 64)),
-        ("beitb16_384", (64, 96)),
-        ("levit_384", (64, 64)),
+        ("swin2t16_256", (64, 64), (64, 64)),
+        ("beitb16_384", (64, 96), (64, 96)),
+        # levit's stem_b4_transpose uses k3/s2/p1 ConvTranspose (torch
+        # arithmetic: H -> 2H-1), so the output is NOT input-sized — exactly
+        # the reference geometry (backbones/levit.py:86-96); its run() resizes
+        # predictions back to the original size afterwards.
+        ("levit_384", (64, 64), (58, 58)),
     ],
 )
-def test_dpt_backbone_forward(backbone, size):
+def test_dpt_backbone_forward(backbone, size, out_size):
     m = DPTDepthModel(backbone=backbone, features=32)
     x = jnp.zeros((1, *size, 3), jnp.float32)
     v = m.init(jax.random.key(0), x, train=False)
     out = m.apply(v, x, train=False)
-    assert out.shape == (1, *size)
+    assert out.shape == (1, *out_size)
     assert float(jnp.min(out)) >= 0.0
 
 
