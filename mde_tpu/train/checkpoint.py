@@ -65,3 +65,41 @@ def load_checkpoint(path: str, template: Optional[Mapping[str, Any]] = None):
     if template is not None:
         return serialization.from_state_dict(dict(template), payload)
     return payload
+
+
+# ------------------------------------------------------ sharded (Orbax) format
+#
+# The msgpack format above gathers every leaf to one host — fine at this
+# model scale (SURVEY.md §5.4), but it serializes through host RAM and loses
+# shardings. The Orbax path writes each shard from the device holding it and
+# restores directly onto a target sharding, so multi-chip training states
+# round-trip without a host-side gather. Directory-based (one dir per step).
+
+
+def save_checkpoint_sharded(dirpath: str, payload) -> None:
+    """Write ``payload`` (pytree of arrays/scalars; arrays may be sharded over
+    a Mesh) as an Orbax checkpoint directory. Blocks until durable."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(dirpath), payload, force=True)
+        # context exit waits for the async write
+
+
+def load_checkpoint_sharded(dirpath: str, template):
+    """Restore an Orbax checkpoint onto ``template``'s structure/shardings.
+
+    ``template`` may hold concrete arrays (their shape/dtype/sharding is used)
+    or ``jax.ShapeDtypeStruct`` leaves with ``.sharding`` set — each leaf is
+    restored directly to its target sharding, no host-side gather.
+    """
+    import orbax.checkpoint as ocp
+
+    def to_abstract(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return x
+
+    abstract = jax.tree_util.tree_map(to_abstract, template)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(dirpath), abstract)

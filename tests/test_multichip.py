@@ -157,3 +157,58 @@ def test_checkpoint_roundtrip_resume_under_mesh(rng, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(resumed.step) == 3
+
+
+def test_orbax_sharded_checkpoint_roundtrip(rng, tmp_path):
+    """Sharded (Orbax) checkpoint format: each leaf saved from its device
+    shards and restored DIRECTLY onto the mesh sharding of a fresh state — no
+    host-side gather/replicate step — with values and shardings preserved
+    (SURVEY.md §5.4's 'Orbax-style checkpointing' obligation)."""
+    from mde_tpu.train.checkpoint import (
+        load_checkpoint_sharded,
+        save_checkpoint_sharded,
+    )
+
+    cfg = _cfg()
+    mesh = make_mesh(data=8, model=1)
+    model = SimpleUNet()
+    rgb_f = jnp.zeros((1, *SIZE, 3), jnp.float32)
+    step = make_train_step(model, cfg)
+
+    state = create_train_state(model, jax.random.key(0), rgb_f, cfg, mesh)
+    b = {
+        "rgb": rng.integers(0, 255, (8, *SIZE, 3)).astype(np.uint8),
+        "depth": rng.uniform(0.5, 5.0, (8, *SIZE)).astype(np.float32),
+    }
+    sb = shard_batch(b, mesh)
+    state, _ = step(state, jax.random.key(1), sb["rgb"], sb["depth"])
+
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    save_checkpoint_sharded(str(tmp_path / "orbax_ckpt"), payload)
+
+    fresh = create_train_state(model, jax.random.key(42), rgb_f, cfg, mesh)
+    restored = load_checkpoint_sharded(
+        str(tmp_path / "orbax_ckpt"),
+        {
+            "params": fresh.params,
+            "batch_stats": fresh.batch_stats,
+            "opt_state": fresh.opt_state,
+            "step": fresh.step,
+        },
+    )
+
+    want = jax.tree_util.tree_leaves(payload)
+    got = jax.tree_util.tree_leaves(restored)
+    assert len(want) == len(got)
+    for a, c in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    # shardings survive: restored leaves carry the mesh sharding of the source
+    p_src = jax.tree_util.tree_leaves(payload["params"])[0]
+    p_new = jax.tree_util.tree_leaves(restored["params"])[0]
+    assert isinstance(p_new, jax.Array)
+    assert p_new.sharding.is_equivalent_to(p_src.sharding, p_new.ndim)
