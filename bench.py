@@ -22,6 +22,75 @@ import time
 import numpy as np
 
 
+def measure_many(batches, size=(448, 576), warmup=3, steps=10, repeats=3):
+    """Per-batch train throughput with INTERLEAVED timed windows.
+
+    The axon tunnel's throughput drifts within a session, so sequential
+    per-batch sweeps confound drift with batch-size effects (r1's "bs16 <=
+    bs4" inversion; disproven by benchmarks/ab_batch_size.py — interleaved,
+    bs16 is ~1.3x better per image). All programs are compiled first, then
+    windows run round-robin so every batch sees the same drift; medians are
+    comparable. Returns {batch: (img_per_sec, sec_per_step) | None}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mde_tpu.core import config as config_lib
+    from mde_tpu.models import build_model
+    from mde_tpu.parallel import make_mesh, shard_batch
+    from mde_tpu.train import create_train_state, make_train_step
+
+    cfg = config_lib.defaults()
+    cfg.framework.input_size = list(size)
+    model = build_model(cfg.model)
+    n_dev = len(jax.devices())
+    step = make_train_step(model, cfg)
+    rgb_f = jnp.zeros((1, *size, 3), jnp.float32)
+    key = jax.random.key(1)
+    rng = np.random.default_rng(0)
+
+    setups, results = {}, {}
+    for batch in batches:
+        mesh = make_mesh(data=n_dev, model=1) if (n_dev > 1 and batch % n_dev == 0) else None
+        try:
+            state = create_train_state(model, jax.random.key(0), rgb_f, cfg, mesh)
+            batch_np = {
+                "rgb": rng.integers(0, 255, (batch, *size, 3)).astype(np.uint8),
+                "depth": rng.uniform(0.5, 9.5, (batch, *size)).astype(np.float32),
+            }
+            data = shard_batch(batch_np, mesh)
+            for i in range(warmup):
+                state, metrics = step(
+                    state, jax.random.fold_in(key, i), data["rgb"], data["depth"]
+                )
+            float(jax.device_get(metrics["loss"]))
+            setups[batch] = {"state": state, "data": data, "windows": []}
+        except Exception as e:  # compile failure / OOM
+            results[batch] = None
+            print(f"# batch {batch} failed: {type(e).__name__}", flush=True)
+
+    for r in range(repeats):
+        for batch, su in setups.items():
+            state, data = su["state"], su["data"]
+            t0 = time.perf_counter()
+            for i in range(steps):
+                state, metrics = step(
+                    state, jax.random.fold_in(key, 100 + r * steps + i),
+                    data["rgb"], data["depth"],
+                )
+            # device_get of the loss: a host round-trip of a value dependent
+            # on every step in the chain — robust against async runtimes
+            # under-reporting completion.
+            float(jax.device_get(metrics["loss"]))
+            su["windows"].append((time.perf_counter() - t0) / steps)
+            su["state"] = state
+
+    for batch, su in setups.items():
+        dt = float(np.median(su["windows"]))
+        results[batch] = (batch / dt, dt)
+    return results
+
+
 def measure(batch: int, size=(448, 576), warmup=3, steps=10, repeats=3):
     import jax
     import jax.numpy as jnp
@@ -111,14 +180,7 @@ def main():
     # bs32 consistently fails in the remote tpu_compile_helper (HTTP 500 —
     # tunnel-side compiler limit, not device OOM); don't burn 4 min on it.
     candidates = [16, 8, 4] if platform != "cpu" else [4]
-    results = {}
-    for b in candidates:
-        try:
-            ips, sec = measure(b)
-            results[b] = (ips, sec)
-        except Exception as e:  # OOM etc.
-            results[b] = None
-            print(f"# batch {b} failed: {type(e).__name__}", flush=True)
+    results = measure_many(candidates)
 
     ok = {b: r for b, r in results.items() if r}
     if not ok:

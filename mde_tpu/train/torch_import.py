@@ -631,6 +631,14 @@ def map_depth_anything_key(key: str):
     return None
 
 
+def _beit_bias_table_conv(tbl):
+    """Reorder a timm BEiT bias table's 3 trailing cls rows into our slot
+    order (see map_dpt_beit_key)."""
+    tbl = np.asarray(tbl)
+    spatial, extra = tbl[:-3], tbl[-3:]
+    return np.concatenate([spatial, extra[[2, 0, 1]]], axis=0)
+
+
 def _split_qkv_weight(part: int):
     """Fused timm qkv weight (3C, C) -> transposed (C, C) slice for q/k/v."""
     def fn(w):
@@ -679,7 +687,12 @@ def map_dpt_beit_key(key: str):
             if sub == "attn.k_bias":
                 return None  # structurally zero in BEiT
             if sub == "attn.relative_position_bias_table":
-                return ("params", block + ("attn", "relative_position_bias_table"), "none")
+                # The spatial rows index identically on both sides, but the 3
+                # cls slots differ: timm appends [cls->tok, tok->cls, cls->cls]
+                # while nn/beit.py::_relative_position_index expects
+                # [cls->cls, cls->tok, tok->cls] — permute the tail.
+                return ("params", block + ("attn", "relative_position_bias_table"),
+                        _beit_bias_table_conv)
             if sub == "attn.relative_position_index":
                 return None  # deterministic, recomputed (nn/beit.py)
             m3 = re.match(r"attn\.proj\.(weight|bias)$", sub)
