@@ -5,6 +5,8 @@ from .mesh import (
     shard_batch,
     replicate,
     data_sharding,
+    tp_param_spec,
+    shard_params_tp,
 )
 
 __all__ = [
@@ -14,4 +16,6 @@ __all__ = [
     "shard_batch",
     "replicate",
     "data_sharding",
+    "tp_param_spec",
+    "shard_params_tp",
 ]

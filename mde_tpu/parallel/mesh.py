@@ -91,3 +91,56 @@ def replicate(tree, mesh: Optional[Mesh]):
         return tree
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+# ------------------------------------------------------------ tensor parallel
+#
+# Megatron-style sharding over the 'model' axis, expressed purely as GSPMD
+# PartitionSpecs (the scaling-book recipe: annotate, let XLA insert the
+# collectives). Attention/MLP input projections are column-parallel (output
+# features sharded, biases sharded alongside); the projections that close the
+# block (attn proj, MLP fc2) are row-parallel (input features sharded — XLA
+# emits the all-reduce after the matmul). Everything else stays replicated.
+# Applies to every transformer family in the zoo by module-name convention:
+# ViT/DINOv2/Swin 'qkv', BEiT/CrossAttention 'q'/'k'/'v', MLP 'fc1' / 'fc2',
+# output 'proj'.
+
+_TP_COLUMN = {"qkv", "fc1", "q", "k", "v"}
+_TP_ROW = {"proj", "fc2"}
+
+
+def tp_param_spec(path: tuple, shape: tuple, n_model: int):
+    """PartitionSpec for one param leaf under tensor parallelism.
+
+    ``path`` is the flattened module path, ``shape`` the leaf shape. Dims that
+    don't divide by the model-axis size stay replicated (correct, just not
+    sharded) — GSPMD would handle uneven shards, but even shards keep the
+    compiled program simple."""
+    leaf = path[-1]
+    mod = path[-2] if len(path) >= 2 else ""
+    if leaf == "kernel" and mod in _TP_COLUMN and len(shape) == 2:
+        if shape[1] % n_model == 0:
+            return P(None, "model")
+    elif leaf == "kernel" and mod in _TP_ROW and len(shape) == 2:
+        if shape[0] % n_model == 0:
+            return P("model", None)
+    elif leaf == "bias" and mod in _TP_COLUMN and len(shape) == 1:
+        if shape[0] % n_model == 0:
+            return P("model")
+    return P()
+
+
+def shard_params_tp(params, mesh: Mesh):
+    """device_put a params pytree with Megatron-style 'model'-axis shardings.
+
+    Returns the sharded pytree; optimizer moments created from it afterwards
+    (optax ``init`` -> ``zeros_like``) inherit the shardings automatically."""
+    from flax import traverse_util
+
+    n_model = mesh.shape["model"]
+    flat = traverse_util.flatten_dict(dict(params))
+    out = {}
+    for path, leaf in flat.items():
+        spec = tp_param_spec(path, np.shape(leaf), n_model)
+        out[path] = jax.device_put(leaf, NamedSharding(mesh, spec))
+    return traverse_util.unflatten_dict(out)

@@ -90,6 +90,23 @@ def create_train_state(model, key, sample_rgb, cfg, mesh=None) -> TrainState:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     tx = make_optimizer(cfg, params)
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        # Tensor parallelism: Megatron-style PartitionSpecs over the 'model'
+        # axis (parallel/mesh.py::tp_param_spec). Sharding the params BEFORE
+        # tx.init makes the Adam moments (zeros_like trees) inherit the same
+        # shardings; the jitted step then runs under GSPMD, which inserts the
+        # row-parallel all-reduces itself.
+        from ..parallel import shard_params_tp
+
+        params = shard_params_tp(params, mesh)
+        batch_stats = replicate(batch_stats, mesh)
+        return TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
     state = TrainState(
         step=jnp.asarray(0, jnp.int32),
         params=params,

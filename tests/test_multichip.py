@@ -212,3 +212,59 @@ def test_orbax_sharded_checkpoint_roundtrip(rng, tmp_path):
     p_new = jax.tree_util.tree_leaves(restored["params"])[0]
     assert isinstance(p_new, jax.Array)
     assert p_new.sharding.is_equivalent_to(p_src.sharding, p_new.ndim)
+
+
+def test_tp_dp_flagship_step_matches_dp_only(rng):
+    """Tensor parallelism (Megatron-style PartitionSpecs over the 'model'
+    axis): one flagship train step on a (data=4, model=2) mesh must match the
+    (data=8, model=1) run numerically — GSPMD inserts the row-parallel
+    all-reduces, so only fp reduction order may differ. Also asserts the qkv
+    kernels really are sharded over 'model'."""
+    from jax.sharding import PartitionSpec as P
+
+    from mde_tpu.core import config as config_lib
+    from mde_tpu.models import MidasNetSemantics
+
+    h, w = 64, 96
+    cfg = config_lib.defaults()
+    cfg.framework.input_size = [h, w]
+    cfg.framework.native_size = [h, w]
+    model = MidasNetSemantics(dinov2_image_size=(28, 42))
+    rgb_f = jnp.zeros((1, h, w, 3), jnp.float32)
+    step = make_train_step(model, cfg)
+    batch = {
+        "rgb": rng.integers(0, 255, (8, h, w, 3)).astype(np.uint8),
+        "depth": rng.uniform(0.5, 5.0, (8, h, w)).astype(np.float32),
+    }
+
+    def run(mesh):
+        state = create_train_state(model, jax.random.key(0), rgb_f, cfg, mesh)
+        sb = shard_batch(batch, mesh)
+        state, metrics = step(state, jax.random.key(1), sb["rgb"], sb["depth"])
+        return float(jax.device_get(metrics["loss"])), state
+
+    loss_dp, _ = run(make_mesh(data=8, model=1))
+    mesh_tp = make_mesh(data=4, model=2)
+    state_tp = create_train_state(model, jax.random.key(0), rgb_f, cfg, mesh_tp)
+
+    # the DINOv2 qkv kernel and the cross-attention q are column-parallel
+    qkv = state_tp.params["dinov2"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model"), qkv.sharding
+    caq = state_tp.params["cross_attention"]["q"]["kernel"]
+    assert caq.sharding.spec == P(None, "model"), caq.sharding
+    proj = state_tp.params["dinov2"]["blocks_0"]["attn"]["proj"]["kernel"]
+    assert proj.sharding.spec == P("model", None), proj.sharding
+    # Adam moments inherit the sharding (tx.init's zeros_like over sharded params)
+    mu = state_tp.opt_state[0].mu if hasattr(state_tp.opt_state[0], "mu") else None
+    if mu is not None:
+        mu_qkv = mu["dinov2"]["blocks_0"]["attn"]["qkv"]["kernel"]
+        assert mu_qkv.sharding.spec == P(None, "model"), mu_qkv.sharding
+
+    sb = shard_batch(batch, mesh_tp)
+    _, metrics = step(state_tp, jax.random.key(1), sb["rgb"], sb["depth"])
+    loss_tp = float(jax.device_get(metrics["loss"]))
+
+    # bf16 compute + different collective reduction order: up to ~7e-4
+    # observed across batches; a wrong sharding would diverge by orders of
+    # magnitude.
+    np.testing.assert_allclose(loss_tp, loss_dp, rtol=2e-3)
