@@ -93,9 +93,11 @@ def _resize_sample_targets(sample: dict, wh: tuple[int, int]) -> None:
         if key in sample:
             sample[key] = cv2.resize(sample[key], wh, interpolation=cv2.INTER_NEAREST)
     if "mask" in sample:
+        # nearest-resize through float32, back to bool (transforms.py:171-175,
+        # :306-311 — both reference paths do the round-trip cast).
         sample["mask"] = cv2.resize(
             sample["mask"].astype(np.float32), wh, interpolation=cv2.INTER_NEAREST
-        )
+        ).astype(bool)
 
 
 def apply_min_size(sample: dict, size, image_interpolation_method=cv2.INTER_AREA):

@@ -118,7 +118,9 @@ class DPT(nn.Module):
         for i, tokens in enumerate(taps):
             if self.readout == "project":
                 t = ProjectReadout(dim, name=f"readout_{i}")(tokens)
-            else:  # "ignore"
+            elif self.readout == "add":  # AddReadout (backbones/utils.py:14-23)
+                t = tokens[:, 1:] + tokens[:, :1]
+            else:  # "ignore" (Slice)
                 t = tokens[:, 1:]
             grid = t.reshape(b, ph, pw, dim)
             grid = Conv(out_channels[i], 1, name=f"act_postprocess_{i}")(grid)
