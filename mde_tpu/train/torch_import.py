@@ -976,7 +976,7 @@ def map_dpt_levit_key(key: str):
                     fc = "fc1" if m3.group(1) == "0" else "fc2"
                     conv = "linear" if m3.group(2) == "c.weight" else None
                     ent = _linearbn_entries(base + (fc,), m3.group(2),
-                                            conv or _bn_kind(m3.group(2)))
+                                            conv or "none")
                     return ent[0] if ent else None
                 return None
             nh, kd, vd, grid, stride = cfg
@@ -990,7 +990,7 @@ def map_dpt_levit_key(key: str):
                 return None  # deterministic buffer, rebuilt per grid
             m3 = re.match(r"proj\.1\.(c\.weight|bn\.\w+)$", inner)
             if m3:
-                conv = "linear" if m3.group(1) == "c.weight" else _bn_kind(m3.group(1))
+                conv = "linear" if m3.group(1) == "c.weight" else "none"
                 ent = _linearbn_entries(base + ("proj",), m3.group(1), conv)
                 return ent[0] if ent else None
             if kind == "attn":
@@ -1017,7 +1017,7 @@ def map_dpt_levit_key(key: str):
             # fused kv with per-head [k|v] needing the block-layout reorder.
             m3 = re.match(r"q\.1\.(c\.weight|bn\.\w+)$", inner)
             if m3:
-                conv = "linear" if m3.group(1) == "c.weight" else _bn_kind(m3.group(1))
+                conv = "linear" if m3.group(1) == "c.weight" else "none"
                 ent = _linearbn_entries(base + ("q",), m3.group(1), conv)
                 return ent[0] if ent else None
             m3 = re.match(r"kv\.(c\.weight|bn\.\w+)$", inner)
@@ -1054,9 +1054,6 @@ def map_dpt_levit_key(key: str):
         return None  # dead: 3-level cascade calls refinenet3 with one input
     return _map_dpt_reassembly_and_scratch(key)
 
-
-def _bn_kind(leaf: str):
-    return "none"
 
 
 def import_state_dict(
