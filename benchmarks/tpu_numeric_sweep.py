@@ -1,0 +1,108 @@
+"""TPU-vs-CPU numeric cross-check over the model zoo.
+
+The axon stack has produced at least one genuine XLA miscompile (CLAUDE.md:
+jitted reshape+strided-slice lowering gave wrong values on TPU only), so every
+model family that ships should have its forward checked against the CPU golden
+once on the real chip. This sweeps the zoo at tiny /32- and window-divisible
+shapes: init on CPU, run the identical fp32 forward on both backends.
+
+Metric: RELATIVE L2 over the whole output plus max-abs-diff normalized by the
+output std. Do NOT use element-wise relative error here — TPU matmuls/convs
+run at bf16 default precision, and dividing an ordinary bf16-scale absolute
+error by a near-zero output element manufactures O(10) "relative errors" out
+of healthy lowerings (measured: a bare fp32 matmul shows elementwise-max-rel
+13.3 but rel-L2 2e-3; precision="highest" drops it to 1e-3). A real
+miscompile shows up as rel-L2 near or above 1.
+
+Run from the repo root: JAX_PLATFORMS=axon,cpu python benchmarks/tpu_numeric_sweep.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def cases():
+    from mde_tpu.models.depth_anything import DepthAnythingV2
+    from mde_tpu.models.dpt import DPTDepthModel
+    from mde_tpu.models.midas_net import MidasNet
+    from mde_tpu.models.midas_semantics import MidasNetSemantics
+    from mde_tpu.models.midas_small import MidasNetSmall
+    from mde_tpu.models.simple_unet import SimpleUNet
+
+    # non_negative=False / sigmoid heads: a ReLU'd depth output at random init
+    # is frequently all-zero, which would make any TPU-side garbage invisible
+    # (and makes agreement trivially exact).
+    nn = dict(non_negative=False)
+    return [
+        ("simple_unet", lambda: SimpleUNet(), (1, 64, 96, 3)),
+        ("midas_small", lambda: MidasNetSmall(features=64, **nn), (1, 64, 96, 3)),
+        ("flagship_semantics",
+         lambda: MidasNetSemantics(dinov2_image_size=(28, 42)), (1, 64, 96, 3)),
+        ("midas_v21", lambda: MidasNet(**nn), (1, 64, 96, 3)),
+        ("dpt_vitb16", lambda: DPTDepthModel(backbone="vitb16_384", features=64, **nn),
+         (1, 64, 96, 3)),
+        ("dpt_hybrid", lambda: DPTDepthModel(backbone="vitb_rn50_384", features=64, **nn),
+         (1, 64, 96, 3)),
+        ("dpt_beitb16", lambda: DPTDepthModel(backbone="beitb16_384", features=64, **nn),
+         (1, 64, 96, 3)),
+        ("dpt_swin2t16", lambda: DPTDepthModel(backbone="swin2t16_256", features=64, **nn),
+         (1, 64, 64, 3)),
+        ("dpt_swinl12", lambda: DPTDepthModel(backbone="swinl12_384", features=64, **nn),
+         (1, 96, 96, 3)),
+        ("dpt_levit", lambda: DPTDepthModel(
+            backbone="levit_384", head_features_1=64, head_features_2=8, **nn),
+         (1, 64, 64, 3)),
+        ("da2_vits", lambda: DepthAnythingV2(size="vits", max_depth=10.0), (1, 56, 84, 3)),
+    ]
+
+
+def main():
+    cpu = jax.devices("cpu")[0]
+    accel = jax.devices()[0]
+    assert accel.platform != "cpu", "run with a TPU attached"
+    rng = np.random.default_rng(0)
+    worst = 0.0
+    failures = []
+
+    for name, build, shape in cases():
+        try:
+            with jax.default_device(cpu):
+                model = build()
+                x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+                variables = model.init(jax.random.key(0), x, train=False)
+
+                def fwd(v, x):
+                    return model.apply(v, x, train=False)
+
+                out_cpu = np.asarray(jax.jit(fwd)(variables, x))
+            v_t = jax.device_put(variables, accel)
+            x_t = jax.device_put(x, accel)
+            out_tpu = np.asarray(jax.jit(fwd)(v_t, x_t))
+            diff = out_tpu - out_cpu
+            rel_l2 = float(np.linalg.norm(diff) / max(np.linalg.norm(out_cpu), 1e-12))
+            max_over_std = float(np.max(np.abs(diff)) / max(np.std(out_cpu), 1e-12))
+            status = "OK" if rel_l2 < 5e-2 and max_over_std < 0.5 else "FAIL"
+            if status == "FAIL":
+                failures.append(name)
+            worst = max(worst, rel_l2)
+            print(f"{name:24s} rel_l2 {rel_l2:9.2e}  maxdiff/std {max_over_std:9.2e}  {status}",
+                  flush=True)
+        except Exception as e:
+            failures.append(name)
+            print(f"{name:24s} ERROR {type(e).__name__}: {e}", flush=True)
+
+    print(f"worst {worst:.2e}; failures: {failures or 'none'}", flush=True)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

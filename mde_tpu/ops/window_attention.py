@@ -152,8 +152,17 @@ def windowed_cross_attention(
     key_valid = _window_key_validity(h, w, hp, wp, ws)  # (N, T)
 
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if backend == "pallas":
+        # Lowering-time platform dispatch, NOT jax.default_backend(): a trace
+        # can be lowered for a device that isn't the default backend (e.g. a
+        # CPU-placed jit in a process whose first platform is the TPU), and the
+        # Pallas kernel only runs on TPU.
+        out = jax.lax.platform_dependent(
+            tpu=lambda: _pallas_window_attention(
+                qw, kw, vw, num_heads, jnp.asarray(key_valid)
+            ).astype(v.dtype),
+            default=lambda: _xla_window_attention(qw, kw, vw, num_heads, key_valid),
+        )
+    elif backend == "pallas":
         out = _pallas_window_attention(qw, kw, vw, num_heads, jnp.asarray(key_valid))
         out = out.astype(v.dtype)
     else:
