@@ -19,11 +19,16 @@ from ..nn.resnext import ResNetBackbone
 class MidasNet(nn.Module):
     features: int = 256
     non_negative: bool = True
+    # (3, 4, 23, 3) = ResNeXt101-32x8d, the WSL checkpoint architecture;
+    # reducible for tests (the per-block topology is depth-independent).
+    encoder_layers: tuple = (3, 4, 23, 3)
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        layers = ResNetBackbone(axis_name=self.axis_name, name="pretrained")(x, train=train)
+        layers = ResNetBackbone(
+            layers=self.encoder_layers, axis_name=self.axis_name, name="pretrained"
+        )(x, train=train)
         l1, l2, l3, l4 = ScratchConvs(self.features, expand=False, name="scratch")(layers)
 
         path_4 = FeatureFusionBlock(self.features, name="refinenet4")(l4)

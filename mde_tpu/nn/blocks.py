@@ -172,17 +172,22 @@ def interpolate(x, scale_factor=None, size=None, align_corners=False):
 
 
 class ResidualConvUnit(nn.Module):
-    """relu-conv3x3-relu-conv3x3 + skip (blocks.py:243-279)."""
+    """relu-conv3x3-relu-conv3x3 + skip (blocks.py:243-279).
+
+    The reference's ``nn.ReLU(inplace=True)`` mutates ``x`` itself, so its
+    ``out + x`` adds the RELU'D input — the skip connection is relu(x), not x
+    (verified against a torch reconstruction; the custom RCU uses a
+    non-inplace ReLU and does add the original x)."""
 
     features: int
 
     @nn.compact
     def __call__(self, x):
-        out = nn.relu(x)
-        out = Conv(self.features, 3, 1, 1, use_bias=True, name="conv1")(out)
+        h = nn.relu(x)
+        out = Conv(self.features, 3, 1, 1, use_bias=True, name="conv1")(h)
         out = nn.relu(out)
         out = Conv(self.features, 3, 1, 1, use_bias=True, name="conv2")(out)
-        return out + x
+        return out + h
 
 
 class ResidualConvUnitCustom(nn.Module):
