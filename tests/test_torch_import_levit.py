@@ -262,3 +262,101 @@ def test_levit_attention_import_matches_timm_semantics():
     }
     got = np.asarray(la.apply(new_vars, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def _timm_subsample_forward(x, sd, nh, kd, vd, res, stride):
+    """numpy reimplementation of timm levit AttentionSubsample.forward (eval):
+    fused per-head [k|v] kv LinearNorm, separate q on the strided sub-grid,
+    insertion-order bias table over (sub-grid queries x full-grid keys)."""
+    b, n, c = x.shape
+    kv = x @ sd["kv.c.weight"].T
+    kv = _bn_eval(kv, sd["kv.bn.weight"], sd["kv.bn.bias"],
+                  sd["kv.bn.running_mean"], sd["kv.bn.running_var"])
+    kv = kv.reshape(b, n, nh, kd + vd)
+    k, v = kv[..., :kd], kv[..., kd:]
+
+    xg = x.reshape(b, res, res, c)[:, ::stride, ::stride].reshape(b, -1, c)
+    q = xg @ sd["q.1.c.weight"].T
+    q = _bn_eval(q, sd["q.1.bn.weight"], sd["q.1.bn.bias"],
+                 sd["q.1.bn.running_mean"], sd["q.1.bn.running_var"])
+    nq = q.shape[1]
+    q = q.reshape(b, nq, nh, kd)
+
+    pts = [(i, j) for i in range(res) for j in range(res)]
+    qpts = [(i, j) for i in range(0, res, stride) for j in range(0, res, stride)]
+    order, idxs = {}, np.zeros((nq, n), np.int64)
+    for a, p1 in enumerate(qpts):
+        for bb, p2 in enumerate(pts):
+            off = (abs(p1[0] - p2[0]), abs(p1[1] - p2[1]))
+            if off not in order:
+                order[off] = len(order)
+            idxs[a, bb] = order[off]
+
+    logits = np.einsum("bqhd,bkhd->bhqk", q, k) * (kd ** -0.5)
+    logits = logits + sd["attention_biases"][:, idxs][None]
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    attn = e / e.sum(-1, keepdims=True)
+    out = np.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, nq, nh * vd)
+    out = _hswish(out)
+    out = out @ sd["proj.1.c.weight"].T
+    return _bn_eval(out, sd["proj.1.bn.weight"], sd["proj.1.bn.bias"],
+                    sd["proj.1.bn.running_mean"], sd["proj.1.bn.running_var"])
+
+
+def test_levit_subsample_import_matches_timm_semantics():
+    """The downsample attention: per-head [k|v] fused kv reorder + strided-query
+    bias table permutation must reproduce timm's AttentionSubsample exactly."""
+    from mde_tpu.train.torch_import import _levit_kv_rows
+
+    nh, kd, vd, res, stride, din, dout = 2, 16, 64, 6, 2, 64, 96
+    n = res * res
+    rng = np.random.default_rng(9)
+    Hkv, Hq, Hp = nh * (kd + vd), nh * kd, nh * vd
+
+    def bn(n_feat):
+        return {
+            "weight": rng.standard_normal(n_feat).astype(np.float32),
+            "bias": rng.standard_normal(n_feat).astype(np.float32),
+            "running_mean": rng.standard_normal(n_feat).astype(np.float32),
+            "running_var": rng.random(n_feat).astype(np.float32) + 0.5,
+        }
+
+    sd = {"kv.c.weight": rng.standard_normal((Hkv, din)).astype(np.float32),
+          "q.1.c.weight": rng.standard_normal((Hq, din)).astype(np.float32),
+          "proj.1.c.weight": rng.standard_normal((dout, Hp)).astype(np.float32)}
+    for base, nf in (("kv.bn", Hkv), ("q.1.bn", Hq), ("proj.1.bn", dout)):
+        for leaf, val in bn(nf).items():
+            sd[f"{base}.{leaf}"] = val
+    nuniq = len(_levit_bias_perm(None, (res, res), stride))
+    sd["attention_biases"] = rng.standard_normal((nh, nuniq)).astype(np.float32)
+
+    x = rng.standard_normal((1, n, din)).astype(np.float32)
+    want = _timm_subsample_forward(x, sd, nh, kd, vd, res, stride)
+
+    la = LevitAttention(din, kd, nh, vd // kd, (res, res), down_stride=stride,
+                        out_dim=dout)
+    variables = la.init(jax.random.key(0), jnp.asarray(x))
+    flat_p = traverse_util.flatten_dict(dict(variables["params"]))
+    flat_s = traverse_util.flatten_dict(dict(variables["batch_stats"]))
+
+    kr, vr = _levit_kv_rows(nh, kd, vd)
+    perm = _levit_bias_perm(None, (res, res), stride)
+    flat_p[("kv", "linear", "kernel")] = sd["kv.c.weight"][kr + vr].T
+    flat_p[("q", "linear", "kernel")] = sd["q.1.c.weight"].T
+    flat_p[("proj", "linear", "kernel")] = sd["proj.1.c.weight"].T
+    flat_p[("attention_biases",)] = sd["attention_biases"][:, perm]
+    for tleaf, (coll, ours) in {
+        "weight": ("p", "scale"), "bias": ("p", "bias"),
+        "running_mean": ("s", "mean"), "running_var": ("s", "var"),
+    }.items():
+        tgt = flat_p if coll == "p" else flat_s
+        tgt[("kv", "bn", "BatchNorm_0", ours)] = sd[f"kv.bn.{tleaf}"][kr + vr]
+        tgt[("q", "bn", "BatchNorm_0", ours)] = sd[f"q.1.bn.{tleaf}"]
+        tgt[("proj", "bn", "BatchNorm_0", ours)] = sd[f"proj.1.bn.{tleaf}"]
+
+    new_vars = {
+        "params": traverse_util.unflatten_dict(flat_p),
+        "batch_stats": traverse_util.unflatten_dict(flat_s),
+    }
+    got = np.asarray(la.apply(new_vars, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
