@@ -69,25 +69,38 @@ def measure_many(batches, size=(448, 576), warmup=3, steps=10, repeats=3):
             results[batch] = None
             print(f"# batch {batch} failed: {type(e).__name__}", flush=True)
 
+    # NOTE on residency: all candidate states (params + Adam moments) and
+    # batches coexist in HBM during the interleaved run — ~3x one state's
+    # footprint, well within this chip for the flagship. A mid-loop failure
+    # (OOM etc.) drops that batch's remaining windows but keeps the others.
     for r in range(repeats):
         for batch, su in setups.items():
+            if su.get("dead"):
+                continue
             state, data = su["state"], su["data"]
-            t0 = time.perf_counter()
-            for i in range(steps):
-                state, metrics = step(
-                    state, jax.random.fold_in(key, 100 + r * steps + i),
-                    data["rgb"], data["depth"],
-                )
-            # device_get of the loss: a host round-trip of a value dependent
-            # on every step in the chain — robust against async runtimes
-            # under-reporting completion.
-            float(jax.device_get(metrics["loss"]))
-            su["windows"].append((time.perf_counter() - t0) / steps)
-            su["state"] = state
+            try:
+                t0 = time.perf_counter()
+                for i in range(steps):
+                    state, metrics = step(
+                        state, jax.random.fold_in(key, 100 + r * steps + i),
+                        data["rgb"], data["depth"],
+                    )
+                # device_get of the loss: a host round-trip of a value dependent
+                # on every step in the chain — robust against async runtimes
+                # under-reporting completion.
+                float(jax.device_get(metrics["loss"]))
+                su["windows"].append((time.perf_counter() - t0) / steps)
+                su["state"] = state
+            except Exception as e:
+                su["dead"] = True
+                print(f"# batch {batch} window failed: {type(e).__name__}", flush=True)
 
     for batch, su in setups.items():
-        dt = float(np.median(su["windows"]))
-        results[batch] = (batch / dt, dt)
+        if su["windows"]:
+            dt = float(np.median(su["windows"]))
+            results[batch] = (batch / dt, dt)
+        else:
+            results[batch] = None
     return results
 
 

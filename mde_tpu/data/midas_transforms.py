@@ -87,9 +87,13 @@ def compute_resize_shape(
     )
 
 
-def _resize_sample_targets(sample: dict, wh: tuple[int, int]) -> None:
-    """Nearest-resize every non-image plane present (depth/disparity/mask)."""
-    for key in ("disparity", "depth"):
+def _resize_sample_targets(sample: dict, wh: tuple[int, int],
+                           include_depth: bool = True) -> None:
+    """Nearest-resize the non-image planes present. ``include_depth=False``
+    for apply_min_size parity: the reference's apply_min_size touches only
+    disparity+mask (transforms.py:166-175), while Resize also handles depth."""
+    keys = ("disparity", "depth") if include_depth else ("disparity",)
+    for key in keys:
         if key in sample:
             sample[key] = cv2.resize(sample[key], wh, interpolation=cv2.INTER_NEAREST)
     if "mask" in sample:
@@ -111,7 +115,7 @@ def apply_min_size(sample: dict, size, image_interpolation_method=cv2.INTER_AREA
     sample["image"] = cv2.resize(
         sample["image"], (out_w, out_h), interpolation=image_interpolation_method
     )
-    _resize_sample_targets(sample, (out_w, out_h))
+    _resize_sample_targets(sample, (out_w, out_h), include_depth=False)
     return (out_h, out_w)
 
 

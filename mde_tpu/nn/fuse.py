@@ -33,6 +33,9 @@ _PAIR_RULES = (
     (re.compile(r"^conv(\d+)$"), lambda m: f"bn{m.group(1)}"),
     (re.compile(r"^shortcut_conv$"), lambda m: "shortcut_bn"),
     (re.compile(r"^spatial_upsample_conv(\d)$"), lambda m: f"spatial_upsample_bn{m.group(1)}"),
+    (re.compile(r"^downsample_conv$"), lambda m: "downsample_bn"),  # ResNeXt shortcut
+    (re.compile(r"^stem_conv(\d)$"), lambda m: f"stem_bn{m.group(1)}"),  # LeViT stem
+    (re.compile(r"^up(\d)$"), lambda m: f"up{m.group(1)}_bn"),  # StemB4Transpose
     (re.compile(r"^conv_stem$"), lambda m: "bn1"),
     (re.compile(r"^conv_pw$"), lambda m: "bn1"),
     (re.compile(r"^conv_dw$"), lambda m: "bn2"),
@@ -133,9 +136,32 @@ def fold_conv_bn(
     )
 
 
+def _tf_effnet_roots(params) -> set:
+    """Module prefixes hosting a TF-style EfficientNet (TFBatchNorm, eps 1e-3).
+
+    Detected by the gen-efficientnet block naming (``blocks_{stage}_{rep}``),
+    NOT by the submodule being called 'pretrained' — MidasNet's ResNeXt encoder
+    is also named 'pretrained' but uses plain eps-1e-5 BatchNorm."""
+    flat = traverse_util.flatten_dict(dict(params))
+    roots = set()
+    block_re = re.compile(r"^blocks_\d+_\d+$")
+    for path in flat:
+        for i, seg in enumerate(path):
+            if block_re.match(str(seg)):
+                roots.add(path[:i])
+                break
+    return roots
+
+
 def fuse_model_params(params, batch_stats):
     """fuse_model for a whole model tree: discovers pairs and applies the
-    right epsilon per family (TFBatchNorm under 'pretrained' uses 1e-3)."""
+    right epsilon per family (TFBatchNorm inside effnet subtrees uses 1e-3,
+    everything else 1e-5)."""
     pairs = discover_conv_bn_pairs(params, batch_stats)
-    eps_by_bn = {bn: (1e-3 if "pretrained" in bn else 1e-5) for _, bn in pairs}
+    tf_roots = _tf_effnet_roots(params)
+
+    def eps_for(bn: tuple) -> float:
+        return 1e-3 if any(bn[: len(r)] == r for r in tf_roots) else 1e-5
+
+    eps_by_bn = {bn: eps_for(bn) for _, bn in pairs}
     return fold_conv_bn(params, batch_stats, pairs, eps_by_bn)

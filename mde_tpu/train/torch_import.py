@@ -1079,9 +1079,11 @@ def import_state_dict(
             report["unmapped"].append(tkey)
             continue
         # A map may fan one torch tensor out to several leaves (fused qkv ->
-        # separate q/k/v Denses); a single entry counts as one loaded key, a
-        # fan-out counts once when every target leaf merged.
+        # separate q/k/v Denses); a single entry counts as one loaded key.
+        # Validate EVERY entry before writing any, so a mid-fan-out shape
+        # mismatch leaves the params untouched (all-or-nothing per key).
         entries = mapped if isinstance(mapped, list) else [mapped]
+        staged = []
         ok = True
         for collection, path, kind in entries:
             target = flat_params if collection == "params" else flat_stats
@@ -1094,8 +1096,10 @@ def import_state_dict(
                 report["shape_mismatch"].append(tkey)
                 ok = False
                 break
-            target[path] = converted.astype(np.asarray(target[path]).dtype)
+            staged.append((target, path, converted))
         if ok:
+            for target, path, converted in staged:
+                target[path] = converted.astype(np.asarray(target[path]).dtype)
             report["loaded"] += 1
 
     new_params = traverse_util.unflatten_dict(flat_params)

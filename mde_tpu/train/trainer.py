@@ -164,8 +164,8 @@ def make_train_step(model, cfg) -> Callable:
         def loss_fn(params):
             # Mixed precision: master params/optimizer stay fp32; the forward
             # (and thus backward matmuls/convs) run in compute_dtype (bf16 on
-            # the MXU). Norm layers are fp32 islands inside the modules; the
-            # loss itself is fp32.
+            # the MXU). Norm layers compute in the activation dtype with fp32
+            # statistics (nn/blocks.py); the loss itself is fp32.
             cast_params = _cast_floating(params, compute_dtype)
             pred, new_stats = _apply_model(
                 model, cast_params, state.batch_stats, rgb.astype(compute_dtype), True
