@@ -62,6 +62,10 @@ def cases():
             backbone="levit_384", head_features_1=64, head_features_2=8, **nn),
          (1, 64, 64, 3)),
         ("da2_vits", lambda: DepthAnythingV2(size="vits", max_depth=10.0), (1, 56, 84, 3)),
+        # next_vit last: largest init on the 1-core host (hierarchical
+        # conv/transformer stages, ~200M params)
+        ("dpt_next_vit", lambda: DPTDepthModel(
+            backbone="next_vit_large_6m", features=64, **nn), (1, 64, 96, 3)),
     ]
 
 
