@@ -151,10 +151,19 @@ class LinearSplitter(nn.Module):
 
 
 def log_binom(n, k, eps: float = 1e-7):
-    """log(nCk) via Stirling (localbins_layers.py:272-276)."""
+    """log(nCk) via Stirling (localbins_layers.py:272-276).
+
+    The ``n - k`` difference is clamped to >= 0 before the log: at k == n the
+    exact value is 0, but XLA's constant folding can evaluate the two ``+ eps``
+    sides at different precisions and produce a tiny *negative* difference,
+    turning ``log(n - k + eps)`` into log(<=0) = NaN under jit (observed on the
+    CPU backend; eager and torch agree at exactly 0). The clamp is a no-op in
+    exact arithmetic for the valid domain k <= n.
+    """
     n = n + eps
     k = k + eps
-    return n * jnp.log(n) - k * jnp.log(k) - (n - k) * jnp.log(n - k + eps)
+    nk = jnp.maximum(n - k, 0.0)
+    return n * jnp.log(n) - k * jnp.log(k) - nk * jnp.log(nk + eps)
 
 
 class LogBinomial(nn.Module):

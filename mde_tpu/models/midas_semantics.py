@@ -181,10 +181,13 @@ class MidasNetSemantics(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         f = self.features
+        # use_dgr is accepted for config compatibility but NOT applied: the
+        # reference's MidasNetSemantics.forward never calls the DGR blocks its
+        # base-class __init__ constructs (midas_semantics.py:207-267 uses the
+        # plain layer_X_rn) — those weights are dead in a semantics checkpoint.
         midas_features, pyramid = MidasNetSmall(
             features=f,
             backbone=self.backbone,
-            use_dgr=self.use_dgr,
             head_32=True,
             axis_name=self.axis_name,
             name="midas",

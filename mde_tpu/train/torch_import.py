@@ -187,6 +187,82 @@ def map_midas_small_key(key: str):
             return None
         path = (f"output_conv{idx}", "Conv_0", "kernel" if leaf == "weight" else "bias")
         return ("params", path, "conv" if leaf == "weight" else "none")
+
+    # Optional heads behind config.yaml flags (model.network.use_lb / use_dgr).
+    if key.startswith("local_bins."):
+        return map_localbins_key(key[len("local_bins."):])
+    if key.startswith("dgr"):
+        return map_dgr_key(key)
+    return None
+
+
+def map_localbins_key(key: str, prefix: tuple = ("local_bins",)):
+    """Reference LocalBins_Block naming (src/network/localbins_net.py:12-52,
+    localbins_layers.py) -> models/localbins.py::LocalBinsBlock.
+
+    Surface: conv2 (1x1 bottleneck conv), seed_bin_regressor / seed_projector /
+    projectors.{i} / attractors.{i} ``_net`` Sequentials (convs at 0 and 2;
+    activations are parameter-free), and conditional_log_binomial.mlp (convs at
+    0 and 2). The LogBinomial ``k_idx`` / ``K_minus_1`` buffers are
+    deterministic (arange / constant, localbins_layers.py:288-291) and are
+    recomputed, not loaded.
+    """
+    m = re.match(r"conv2\.(weight|bias)$", key)
+    if m:
+        leaf = m.group(1)
+        path = prefix + ("conv2", "Conv_0", "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    m = re.match(r"(seed_bin_regressor|seed_projector)\._net\.([02])\.(weight|bias)$", key)
+    if m:
+        mod, idx, leaf = m.groups()
+        path = prefix + (mod, f"net{idx}", "Conv_0",
+                         "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    m = re.match(r"(projectors|attractors)\.(\d)\._net\.([02])\.(weight|bias)$", key)
+    if m:
+        kind, i, idx, leaf = m.groups()
+        mod = f"{kind}_{i}"
+        path = prefix + (mod, f"net{idx}", "Conv_0",
+                         "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    m = re.match(r"conditional_log_binomial\.mlp\.([02])\.(weight|bias)$", key)
+    if m:
+        idx, leaf = m.groups()
+        path = prefix + ("conditional_log_binomial", f"mlp{idx}", "Conv_0",
+                         "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    if re.match(r"conditional_log_binomial\.log_binomial_transform\.(k_idx|K_minus_1)$", key):
+        return None  # deterministic buffers, recomputed (models/localbins.py)
+    return None
+
+
+def map_dgr_key(key: str):
+    """Reference DGR naming (src/network/midas_net_custom.py:14-43) ->
+    models/midas_small.py::DGR (dgr1..dgr4 on layer_1_rn..layer_4_rn).
+
+    lap2/lap3 are frozen constant Laplacian kernels (buffers-as-parameters,
+    midas_net_custom.py:21-28) — recomputed, not loaded. recalib Sequential
+    carries convs at indices 1 and 3 (AdaptiveAvgPool/GELU/Sigmoid are
+    parameter-free); ``spatial`` is a 3x3 depthwise conv.
+    """
+    m = re.match(r"dgr(\d)\.(.+)$", key)
+    if not m:
+        return None
+    n, rest = m.groups()
+    base = (f"dgr{n}",)
+    if re.match(r"(lap2|lap3)\.weight$", rest):
+        return None  # frozen constants, rebuilt in-model
+    m2 = re.match(r"recalib\.([13])\.(weight|bias)$", rest)
+    if m2:
+        idx, leaf = m2.groups()
+        path = base + (f"recalib{idx}", "Conv_0",
+                       "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "conv" if leaf == "weight" else "none")
+    m2 = re.match(r"spatial\.(weight|bias)$", rest)
+    if m2:
+        leaf = m2.group(1)
+        path = base + ("spatial", "Conv_0", "kernel" if leaf == "weight" else "bias")
+        return ("params", path, "depthwise_conv" if leaf == "weight" else "none")
     return None
 
 
@@ -404,6 +480,17 @@ def map_midas_semantics_key(key: str):
 
     if key.startswith("scratch.output_conv.4.") or key.startswith("scratch.output_conv.5."):
         return None  # removed by the head surgery
+    if key.startswith("local_bins."):
+        # The semantics model hosts LocalBins at the top level (not under the
+        # midas branch): reference forward feeds it the depth-head output +
+        # midas pyramid (midas_semantics.py:261-265).
+        return map_localbins_key(key[len("local_bins."):])
+    if key.startswith("dgr"):
+        # Dead weights: MidasNetSemantics.forward never calls the DGR blocks
+        # its base-class __init__ constructs (midas_semantics.py:207-267 uses
+        # the plain layer_X_rn) — a use_dgr semantics checkpoint carries them
+        # but they never influence the output. Intentionally dropped.
+        return None
     mapped = map_midas_small_key(key)
     if mapped is None:
         return None
