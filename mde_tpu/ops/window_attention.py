@@ -136,6 +136,13 @@ def windowed_cross_attention(
         VJP with XLA-math backward). Both use the identical per-window
         key-validity mask, so results match to fp rounding.
 
+        Under multi-device execution with a registered training mesh
+        (parallel.mesh.set_active_mesh — create_train_state does this), the
+        chosen impl runs per-shard via shard_map over the 'data' axis, so the
+        Pallas kernel stays live on multi-chip meshes (batch-local windows,
+        zero collectives). Multi-device without a registered mesh keeps the
+        GSPMD-safe XLA einsum for "auto".
+
     Returns: (B, H, W, C) attended values, dtype of ``v``.
     """
     _, h, w, _ = q.shape
@@ -150,27 +157,65 @@ def windowed_cross_attention(
     vw, _, _ = _window_partition(vp, ws)
     key_valid = _window_key_validity(h, w, hp, wp, ws)  # (N, T)
 
-    if backend == "auto" and jax.device_count() > 1:
-        # The Pallas custom call has no GSPMD partitioning rule, so under a
-        # multi-chip mesh it would force replication (or fail to lower). The
-        # XLA einsum path shards cleanly along the batch dim; the kernel's
-        # measured 1.31x is a single-chip result anyway.
-        backend = "xla"
     if backend == "auto":
         # Lowering-time platform dispatch, NOT jax.default_backend(): a trace
         # can be lowered for a device that isn't the default backend (e.g. a
         # CPU-placed jit in a process whose first platform is the TPU), and the
         # Pallas kernel only runs on TPU.
-        out = jax.lax.platform_dependent(
-            tpu=lambda: _pallas_window_attention(
-                qw, kw, vw, num_heads, jnp.asarray(key_valid)
-            ).astype(v.dtype),
-            default=lambda: _xla_window_attention(qw, kw, vw, num_heads, key_valid),
-        )
+        def impl(qw, kw, vw, mask):
+            return jax.lax.platform_dependent(
+                tpu=lambda: _pallas_window_attention(
+                    qw, kw, vw, num_heads, mask
+                ).astype(vw.dtype),
+                default=lambda: _xla_window_attention(qw, kw, vw, num_heads, mask),
+            )
     elif backend == "pallas":
-        out = _pallas_window_attention(qw, kw, vw, num_heads, jnp.asarray(key_valid))
-        out = out.astype(v.dtype)
+        def impl(qw, kw, vw, mask):
+            return _pallas_window_attention(qw, kw, vw, num_heads, mask).astype(vw.dtype)
     else:
-        out = _xla_window_attention(qw, kw, vw, num_heads, key_valid)
+        def impl(qw, kw, vw, mask):
+            return _xla_window_attention(qw, kw, vw, num_heads, mask)
+
+    mask = jnp.asarray(key_valid)
+    mesh = _shardable_mesh()
+    if mesh is not None:
+        # Multi-device: the Pallas custom call has no GSPMD partitioning rule,
+        # so run the chosen impl per-shard via shard_map over the registered
+        # training mesh. Windows are batch-local — the batch dim shards over
+        # 'data' with ZERO collectives (keys/mask replicated per shard); any
+        # 'model' axis stays replicated, matching what GSPMD would do for the
+        # einsum path. A batch that doesn't divide the 'data' axis falls back
+        # to replicated specs (correct, just not parallel — remainder batches).
+        from jax.sharding import PartitionSpec as P
+
+        bspec = (
+            P("data", None, None, None)
+            if qw.shape[0] % mesh.shape["data"] == 0
+            else P(None, None, None, None)
+        )
+        out = jax.shard_map(
+            impl,
+            mesh=mesh,
+            in_specs=(bspec, bspec, bspec, P(None, None)),
+            out_specs=bspec,
+            # custom_vjp + platform_dependent inside: skip varying-manual-axes
+            # checking; the per-shard math is self-contained (no collectives).
+            check_vma=False,
+        )(qw, kw, vw, mask)
+    elif backend == "auto" and jax.device_count() > 1:
+        # No registered mesh to shard_map over: keep the GSPMD-safe XLA einsum
+        # (a bare Pallas custom call would force replication or fail to lower).
+        out = _xla_window_attention(qw, kw, vw, num_heads, mask)
+    else:
+        out = impl(qw, kw, vw, mask)
     out = _window_unpartition(out, ws, nh, nw)
     return out[:, :h, :w, :]
+
+
+def _shardable_mesh():
+    """The registered training mesh, when sharding is actually in play."""
+    if jax.device_count() <= 1:
+        return None
+    from ..parallel.mesh import get_active_mesh
+
+    return get_active_mesh()

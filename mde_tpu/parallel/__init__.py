@@ -1,4 +1,7 @@
 from .mesh import (
+    active_mesh,
+    get_active_mesh,
+    set_active_mesh,
     make_mesh,
     make_training_mesh,
     clamp_data_axis,
@@ -10,6 +13,9 @@ from .mesh import (
 )
 
 __all__ = [
+    "active_mesh",
+    "get_active_mesh",
+    "set_active_mesh",
     "make_mesh",
     "make_training_mesh",
     "clamp_data_axis",

@@ -21,6 +21,46 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# --------------------------------------------------------------- active mesh
+#
+# Trace-time mesh registry. Ops that need an explicit per-shard lowering under
+# multi-device execution (the Pallas windowed attention: custom calls have no
+# GSPMD partitioning rule, so without shard_map they would force replication)
+# read the active mesh here at TRACE time. It is registered by
+# create_train_state / the tools when a training mesh exists. Because jitted
+# functions capture it during tracing, set it before building step functions;
+# changing it later only affects new traces.
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> Optional[Mesh]:
+    """Register the mesh ops may shard_map over; returns the previous one."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    return prev
+
+
+def get_active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
+class active_mesh:
+    """Context manager form of set_active_mesh (tests, scoped benchmarks)."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+
+    def __enter__(self):
+        self._prev = set_active_mesh(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        set_active_mesh(self._prev)
+        return False
+
+
 def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
     """Build a ('data', 'model') mesh; data=-1 means all remaining devices.
     If data*model is smaller than the device count, the first data*model

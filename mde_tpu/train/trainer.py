@@ -86,6 +86,13 @@ def make_optimizer(cfg, params=None) -> optax.GradientTransformation:
 
 
 def create_train_state(model, key, sample_rgb, cfg, mesh=None) -> TrainState:
+    # Register (or clear) the mesh for ops that shard_map over it at trace
+    # time (the Pallas windowed attention, ops/window_attention.py). Always
+    # set, so a previous mesh can't leak into a mesh-less session. Must happen
+    # before any step function traces.
+    from ..parallel import set_active_mesh
+
+    set_active_mesh(mesh)
     variables = model.init(key, sample_rgb, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
