@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.resize import resize_bilinear
+from ..ops.resize import resize_bicubic, resize_bilinear
 from .blocks import LayerNorm
 
 VIT_CONFIGS = {
@@ -135,12 +135,25 @@ class ViT(nn.Module):
             nn.initializers.truncated_normal(0.02),
             (1, self.pos_grid[0] * self.pos_grid[1] + 1, dim),
         )
-        # Interpolate the patch pos-embed grid to the current token grid
-        # (bilinear, as DINOv2 does for off-pretrain resolutions).
+        # Interpolate the patch pos-embed grid to the current token grid.
+        # DINOv2 trunks use the hub's interpolate_pos_encoding semantics —
+        # bicubic with interpolate_offset=0.1 folded into the sampling scale
+        # (scale_factor=(out+0.1)/in, so src = (o+0.5)*in/(out+0.1)-0.5);
+        # timm ViT trunks (MiDaS DPT) use plain bilinear
+        # (src/network/backbones/vit.py:16-30, F.interpolate default corners).
         cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
         if (ph, pw) != tuple(self.pos_grid):
             grid = patch_pos.reshape(1, self.pos_grid[0], self.pos_grid[1], dim)
-            grid = resize_bilinear(grid, (ph, pw), align_corners=False)
+            if self.variant.startswith("dinov2"):
+                grid = resize_bicubic(
+                    grid, (ph, pw), align_corners=False,
+                    src_scales=(
+                        self.pos_grid[0] / (ph + 0.1),
+                        self.pos_grid[1] / (pw + 0.1),
+                    ),
+                )
+            else:
+                grid = resize_bilinear(grid, (ph, pw), align_corners=False)
             patch_pos = grid.reshape(1, ph * pw, dim)
         tokens = tokens + patch_pos
         cls_tok = jnp.broadcast_to(cls + cls_pos, (b, 1, dim))

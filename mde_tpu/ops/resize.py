@@ -142,6 +142,98 @@ def resize_bilinear(
     return compute.astype(dtype)
 
 
+# ------------------------------------------------------------------- bicubic
+#
+# Torch-semantics bicubic (cubic convolution, A=-0.75), needed for DINOv2's
+# ``interpolate_pos_encoding`` (hub vision_transformer.py): the flagship's
+# semantic branch always runs off the 37x37 pretrain grid
+# (src/network/midas_semantics.py:178,233-239), so every real-weight forward
+# exercises this path. Torch's cubic sampler differs from the bilinear one in
+# two ways replicated here: negative half-pixel source coords are NOT clamped
+# (area_pixel_compute_source_index with cubic=true) — tap *indices* are
+# clamped into range instead — and each output sample mixes 4 taps with the
+# Keys cubic-convolution weights.
+
+_CUBIC_A = np.float32(-0.75)
+
+
+@functools.lru_cache(maxsize=256)
+def _cubic_matrix(
+    in_size: int, out_size: int, align_corners: bool, src_scale: float | None = None
+) -> np.ndarray:
+    """Dense (out_size, in_size) bicubic interpolation matrix, float32.
+
+    ``src_scale`` overrides the source-coordinate scale (the reciprocal of
+    F.interpolate's ``scale_factor``): DINOv2's interpolate_offset=0.1 path
+    calls interpolate with scale_factor=(out+0.1)/in, so the kernel samples at
+    src = (o+0.5) * in/(out+0.1) - 0.5 rather than with the exact in/out ratio.
+    """
+    o = np.arange(out_size, dtype=np.float32)
+    if align_corners:
+        scale = np.float32(in_size - 1) / np.float32(max(out_size - 1, 1))
+        src = o * scale
+    else:
+        scale = (
+            np.float32(src_scale)
+            if src_scale is not None
+            else np.float32(in_size) / np.float32(out_size)
+        )
+        src = (o + np.float32(0.5)) * scale - np.float32(0.5)  # no clamp (cubic)
+    i0 = np.floor(src).astype(np.int64)
+    frac = (src - i0).astype(np.float32)
+    A = _CUBIC_A
+
+    def cc1(x):  # |x| <= 1
+        return ((A + 2) * x - (A + 3)) * x * x + 1
+
+    def cc2(x):  # 1 < |x| < 2
+        return ((A * x - 5 * A) * x + 8 * A) * x - 4 * A
+
+    weights = (cc2(frac + 1), cc1(frac), cc1(1 - frac), cc2(2 - frac))
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    for tap, wt in enumerate(weights):
+        idx = np.clip(i0 - 1 + tap, 0, in_size - 1)  # upsample_get_value_bounded
+        np.add.at(m, (rows, idx), wt)
+    return m
+
+
+def resize_bicubic(
+    x: jnp.ndarray,
+    size: tuple[int, int],
+    align_corners: bool = False,
+    src_scales: tuple[float, float] | None = None,
+) -> jnp.ndarray:
+    """Resize the two spatial axes with torch-semantics bicubic sampling.
+
+    Same rank/axis conventions as ``resize_bilinear``. Always lowered as dense
+    (out x in) matmuls in fp32 at precision='highest' — the consumers
+    (pos-embed grids) are tiny, and exactness matters more than bandwidth.
+    ``src_scales``: optional per-axis (h, w) source scales for the DINOv2
+    interpolate_offset semantics (pass in/(out+0.1)).
+    """
+    out_h, out_w = int(size[0]), int(size[1])
+    channel_last = x.ndim >= 4
+    h_axis = x.ndim - 3 if channel_last else x.ndim - 2
+    w_axis = h_axis + 1
+    in_h, in_w = x.shape[h_axis], x.shape[w_axis]
+    dtype = x.dtype
+    compute = x.astype(jnp.float32)
+    for axis, in_size, out_size, ss in (
+        (h_axis, in_h, out_h, src_scales[0] if src_scales else None),
+        (w_axis, in_w, out_w, src_scales[1] if src_scales else None),
+    ):
+        if in_size == out_size and ss is None:
+            continue
+        m = jnp.asarray(_cubic_matrix(in_size, out_size, align_corners, ss))
+        compute = jnp.moveaxis(
+            jnp.tensordot(m, compute, axes=((1,), (axis,)), precision="highest"),
+            0,
+            axis,
+        )
+    return compute.astype(dtype)
+
+
 def upsample2x(x: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
     """2x bilinear upsample, matching ``Interpolate(scale_factor=2)``.
 

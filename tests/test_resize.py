@@ -72,3 +72,45 @@ def test_gradient_flows(rng):
     x = jnp.asarray(rng.standard_normal((1, 6, 6, 2)).astype(np.float32))
     g = jax.grad(lambda v: jnp.sum(resize_bilinear(v, (12, 12)) ** 2))(x)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+# ------------------------------------------------------------------- bicubic
+
+
+@pytest.mark.parametrize("align", [True, False])
+@pytest.mark.parametrize("in_hw,out_hw", [((7, 9), (13, 17)), ((37, 37), (16, 20)), ((12, 10), (5, 4))])
+def test_bicubic_matches_torch(align, in_hw, out_hw, rng):
+    from mde_tpu.ops.resize import resize_bicubic
+
+    x = rng.standard_normal((2, *in_hw, 4)).astype(np.float32)
+    want = TF.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), out_hw, mode="bicubic",
+        align_corners=align,
+    ).numpy()
+    got = np.asarray(resize_bicubic(jnp.asarray(x), out_hw, align_corners=align))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, rtol=1e-4, atol=1e-5)
+
+
+def test_bicubic_dinov2_offset_semantics(rng):
+    """The hub's interpolate_pos_encoding passes interpolate_offset=0.1 as an
+    explicit scale_factor; source coords use that scale, not in/out."""
+    from mde_tpu.ops.resize import resize_bicubic
+
+    m, ph, pw = 37, 16, 20
+    x = rng.standard_normal((1, m, m, 8)).astype(np.float32)
+    sx, sy = float(ph + 0.1) / m, float(pw + 0.1) / m
+    want = TF.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), scale_factor=(sx, sy),
+        mode="bicubic", antialias=False,
+    ).numpy()
+    assert want.shape[-2:] == (ph, pw)
+    got = np.asarray(
+        resize_bicubic(
+            jnp.asarray(x), (ph, pw), align_corners=False,
+            src_scales=(m / (ph + 0.1), m / (pw + 0.1)),
+        )
+    )
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, rtol=1e-4, atol=1e-5)
+    # and the offset semantics differ measurably from the plain in/out scale
+    plain = np.asarray(resize_bicubic(jnp.asarray(x), (ph, pw), align_corners=False))
+    assert np.abs(plain - got).max() > 1e-4

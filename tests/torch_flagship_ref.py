@@ -260,8 +260,15 @@ class DinoVisionTransformer(nn.Module):
         t = self.patch_embed(x).flatten(2).transpose(1, 2)  # (B, ph*pw, C)
         cls_pos, patch_pos = self.pos_embed[:, :1], self.pos_embed[:, 1:]
         if (ph, pw) != tuple(self.pos_grid):
+            # hub interpolate_pos_encoding: bicubic, interpolate_offset=0.1
+            # passed as scale_factor (antialias=False)
             grid = patch_pos.reshape(1, *self.pos_grid, -1).permute(0, 3, 1, 2)
-            grid = F.interpolate(grid, (ph, pw), mode="bilinear", align_corners=False)
+            sx = float(ph + 0.1) / self.pos_grid[0]
+            sy = float(pw + 0.1) / self.pos_grid[1]
+            grid = F.interpolate(
+                grid, scale_factor=(sx, sy), mode="bicubic", antialias=False
+            )
+            assert grid.shape[-2:] == (ph, pw)
             patch_pos = grid.permute(0, 2, 3, 1).reshape(1, ph * pw, -1)
         t = t + patch_pos
         cls = (self.cls_token + cls_pos).expand(b, -1, -1)
