@@ -1,0 +1,217 @@
+"""A/B: FusionStack lowering attack (VERDICT r2 weak #2 / next-round item 3).
+
+The FusionStack — the post-concat tail of MidasNetSemantics (fusion_blocks_0,
+fusion_head_*, depth_head_* at full 448x576 resolution, 16-64 channels) — is
+43% of flagship forward time (BASELINE.md round-2 breakdown, 31.6 ms of
+74.2 ms at bs8). Its convs are stride-1 3x3/1x1 with cout in {16,32,64}: on
+the MXU the output-channel dim pads to 128 lanes, so the natural question is
+which lowering recovers the wasted lanes. Three experiments, one process,
+interleave-free but same-session (each prints its own numbers):
+
+1. **Lane probe** — 3x3 conv cin=64 at 448x576 bs8 with cout swept
+   16..256. If time is flat up to cout=128, small-cout convs are lane-bound
+   and any transform that trades FLOPs for lane occupancy is a wash by
+   construction (time ~ HW * cin * K^2 * roundup(cout,128)); if time scales
+   with cout, there is no padding waste to recover.
+
+2. **Merged conv1+shortcut** — ResidualBlock's 3x3 conv1 and 1x1 shortcut
+   read the same input (models/midas_semantics.py:44-55); embedding the 1x1
+   in a 3x3 center tap and concatenating kernels turns two half-empty MXU
+   passes into one. Same parameters, apply-time-only rewrite.
+
+3. **Winograd F(2x2, 3x3)** — 2.25x fewer MACs for the dominant 64->64
+   stride-1 3x3 convs (62% of FusionStack FLOPs), at the cost of 4x
+   intermediate data (16 tap coefficients per 2x2 output tile) and core
+   matmuls that contract only cin (64) instead of the direct conv's 9*cin
+   (576). Whether the MAC saving survives the lane/HBM cost is exactly what
+   the measurement decides.
+
+The RESULT block at the bottom of this docstring records the measured verdict
+(kept current, win or lose — documented negatives are the point of this file).
+
+RESULT: see the committed run log appended below after the TPU measurement
+(this block intentionally left empty until the numbers exist).
+
+Run from repo root: python benchmarks/ab_fusion_stack.py [batch]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H, W = 448, 576
+
+
+def timeit(name, fn, *args, warmup=3, steps=10, repeats=3):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.device_get(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
+    meds = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = fn(*args)
+        jax.device_get(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
+        meds.append((time.perf_counter() - t0) / steps)
+    sec = float(np.median(meds))
+    print(f"{name:58s} {sec * 1e3:8.3f} ms", flush=True)
+    return sec
+
+
+def conv3(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def conv1(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+# ---------------------------------------------------------------- lane probe
+def lane_probe(b):
+    print("\n== 1. lane probe: 3x3 conv cin=64 @ %dx%dx bs%d bf16 ==" % (H, W, b))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, H, W, 64)), jnp.bfloat16)
+    f = jax.jit(conv3)
+    base = None
+    for cout in (16, 32, 64, 128, 256):
+        k = jnp.asarray(rng.standard_normal((3, 3, 64, cout)) * 0.05, jnp.bfloat16)
+        sec = timeit(f"  cout={cout}", f, x, k)
+        tf = 2.0 * b * H * W * 64 * cout * 9 / sec / 1e12
+        if base is None:
+            base = sec
+        print(f"    -> {tf:6.2f} TFLOP/s   ({sec / base:4.2f}x cout=16 time)")
+
+
+# ------------------------------------------------- merged conv1 + shortcut
+def merged_resblock_entry(b):
+    """ResidualBlock entry at the fusion_head_0 shape: conv1 (3x3 64->32) and
+    shortcut (1x1 64->32) both read x. Merged: one 3x3 64->64 with the 1x1
+    embedded at the center tap, split after."""
+    print("\n== 2. merged conv1+shortcut (fusion_head_0: 64 -> 32+32) ==")
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((b, H, W, 64)), jnp.bfloat16)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, 64, 32)) * 0.05, jnp.bfloat16)
+    ks = jnp.asarray(rng.standard_normal((1, 1, 64, 32)) * 0.05, jnp.bfloat16)
+
+    @jax.jit
+    def separate(x, k1, ks):
+        return conv3(x, k1), conv1(x, ks)
+
+    @jax.jit
+    def merged(x, k1, ks):
+        ks3 = jnp.pad(ks, ((1, 1), (1, 1), (0, 0), (0, 0)))
+        y = conv3(x, jnp.concatenate([k1, ks3], axis=-1))
+        return y[..., :32], y[..., 32:]
+
+    a1, a2 = jax.device_get(separate(x, k1, ks))
+    b1, b2 = jax.device_get(merged(x, k1, ks))
+    for a, c in ((a1, b1), (a2, b2)):
+        rel = np.linalg.norm(np.float32(a) - np.float32(c)) / (
+            np.linalg.norm(np.float32(a)) + 1e-9
+        )
+        assert rel < 2e-2, rel
+    t_sep = timeit("  separate (two convs)", separate, x, k1, ks)
+    t_mrg = timeit("  merged (one 64-cout conv)", merged, x, k1, ks)
+    print(f"    -> merged fwd speedup {t_sep / t_mrg:4.2f}x")
+
+    # and through the backward (what the train step sees)
+    def loss_sep(k1, ks):
+        y1, y2 = conv3(x, k1), conv1(x, ks)
+        return jnp.sum(jnp.float32(y1)) + jnp.sum(jnp.float32(y2))
+
+    def loss_mrg(k1, ks):
+        ks3 = jnp.pad(ks, ((1, 1), (1, 1), (0, 0), (0, 0)))
+        y = conv3(x, jnp.concatenate([k1, ks3], axis=-1))
+        return jnp.sum(jnp.float32(y))
+
+    g_sep = jax.jit(jax.grad(loss_sep, argnums=(0, 1)))
+    g_mrg = jax.jit(jax.grad(loss_mrg, argnums=(0, 1)))
+    t_gs = timeit("  separate grad", g_sep, k1, ks)
+    t_gm = timeit("  merged grad", g_mrg, k1, ks)
+    print(f"    -> merged grad speedup {t_gs / t_gm:4.2f}x")
+
+
+# ------------------------------------------------------ Winograd F(2x2,3x3)
+BT = np.array(
+    [[1, 0, -1, 0], [0, 1, 1, 0], [0, -1, 1, 0], [0, 1, 0, -1]], np.float32
+)
+G = np.array([[1, 0, 0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0, 0, 1]], np.float32)
+AT = np.array([[1, 1, 1, 0], [0, 1, -1, -1]], np.float32)
+
+
+def winograd3x3(x, k):
+    """F(2x2,3x3) stride-1 pad-1 conv, NHWC. Same function as conv3 up to fp
+    reassociation. Transforms in the activation dtype; kernel transform fp32
+    then cast (G has exact-in-bf16 0.5 entries anyway)."""
+    b, h, w, cin = x.shape
+    cout = k.shape[-1]
+    nh, nw = h // 2, w // 2
+    dt = x.dtype
+
+    u = jnp.einsum(
+        "iu,uvcd,jv->ijcd", G, jnp.float32(k), G, precision="highest"
+    ).astype(dt)  # (4,4,cin,cout)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # d[u,v] tile grid: strided slices of the padded input
+    rows = [xp[:, r : r + 2 * nh : 2] for r in range(4)]
+    d = jnp.stack(
+        [jnp.stack([r_[:, :, c : c + 2 * nw : 2] for c in range(4)]) for r_ in rows]
+    )  # (4,4,B,nh,nw,cin)
+    bt = jnp.asarray(BT, dt)
+    v = jnp.einsum("iu,uvbnmc,jv->ijbnmc", bt, d, bt)
+    m = jnp.einsum("ijbnmc,ijcd->ijbnmd", v, u)
+    at = jnp.asarray(AT, dt)
+    y = jnp.einsum("pi,ijbnmd,qj->bnpmqd", at, m, at)  # (B,nh,2,nw,2,cout)
+    return y.reshape(b, h, w, cout)
+
+
+def winograd_ab(b):
+    print("\n== 3. Winograd F(2x2,3x3) vs direct, 64->64 @ %dx%d bs%d ==" % (H, W, b))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((b, H, W, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.05, jnp.bfloat16)
+
+    f_dir = jax.jit(conv3)
+    f_win = jax.jit(winograd3x3)
+    a = np.float32(jax.device_get(f_dir(x, k)))
+    c = np.float32(jax.device_get(f_win(x, k)))
+    rel = np.linalg.norm(a - c) / (np.linalg.norm(a) + 1e-9)
+    print(f"  rel-L2 winograd vs direct (bf16): {rel:.2e}")
+    assert rel < 5e-2, rel
+
+    t_d = timeit("  direct conv fwd", f_dir, x, k)
+    t_w = timeit("  winograd fwd", f_win, x, k)
+    print(f"    -> winograd fwd speedup {t_d / t_w:4.2f}x "
+          f"(direct {2*b*H*W*64*64*9/t_d/1e12:.1f} TFLOP/s)")
+
+    g_d = jax.jit(jax.grad(lambda k: jnp.sum(jnp.float32(conv3(x, k)))))
+    g_w = jax.jit(jax.grad(lambda k: jnp.sum(jnp.float32(winograd3x3(x, k)))))
+    t_gd = timeit("  direct grad", g_d, k)
+    t_gw = timeit("  winograd grad", g_w, k)
+    print(f"    -> winograd grad speedup {t_gd / t_gw:4.2f}x")
+
+
+def main():
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    print(f"platform={jax.devices()[0].platform} batch={b}")
+    lane_probe(b)
+    merged_resblock_entry(b)
+    winograd_ab(b)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,7 @@ class HostLoader:
         seed: int = 0,
         prefetch_depth: int = 2,
         cache: bool = False,
-        use_native: bool = True,
+        use_native: Optional[bool] = None,
     ):
         self.dataset = dataset
         self.indices = np.asarray(indices if indices is not None else np.arange(len(dataset)))
@@ -53,6 +53,11 @@ class HostLoader:
         # host libpng-backed PIL decodes ~25% faster than our scalar unfilter,
         # while the native pool avoids per-sample Python object churn on
         # multi-core hosts. The cache (above) dominates both after epoch 1.
+        # Default (None) picks by core count per that measurement.
+        if use_native is None:
+            import os
+
+            use_native = (os.cpu_count() or 1) > 1
         self._native_hw = "unprobed" if use_native else None
 
     def __len__(self) -> int:

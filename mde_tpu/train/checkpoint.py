@@ -102,4 +102,19 @@ def load_checkpoint_sharded(dirpath: str, template):
 
     abstract = jax.tree_util.tree_map(to_abstract, template)
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(os.path.abspath(dirpath), abstract)
+        restored = ckptr.restore(os.path.abspath(dirpath), abstract)
+
+    # Orbax returns every leaf COMMITTED to its target sharding — including
+    # leaves whose template was an *uncommitted* default-device scalar (optax
+    # counts, TrainState.step: anything built by a bare jnp.asarray rather
+    # than device_put). A committed SingleDeviceSharding scalar then pins
+    # device 0, and jit refuses to mix it with mesh-placed params when the
+    # state is restored onto a different topology. Hand those leaves back as
+    # host numpy so they stay placement-neutral (auto-placed at first use),
+    # exactly like the freshly-initialized state they replace.
+    def neutralize(t, r):
+        if isinstance(t, jax.Array) and not t.committed and isinstance(r, jax.Array):
+            return np.asarray(jax.device_get(r))
+        return r
+
+    return jax.tree_util.tree_map(neutralize, template, restored)

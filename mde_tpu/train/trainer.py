@@ -148,12 +148,21 @@ def _apply_model(model, params, batch_stats, rgb, train):
     return model.apply(variables, rgb, train=False), batch_stats
 
 
-def make_train_step(model, cfg) -> Callable:
+def make_train_step(model, cfg, accum_steps: int = 1) -> Callable:
     """Returns jitted fn(state, key, rgb_u8, depth_raw) -> (state, metrics).
 
     The whole per-step pipeline — uint8 decode-side batch -> resize -> augment ->
     normalize -> forward -> loss -> backward -> AdamW -> BN stat update — is one
     XLA program; the train loop only feeds raw host batches.
+
+    ``accum_steps > 1`` splits the batch into that many microbatches, runs
+    forward+backward per microbatch under ``lax.scan`` (one microbatch of
+    activations live at a time — the path past compile/memory ceilings, e.g.
+    the tunnel compiler's flagship-bs32 HTTP 500, CLAUDE.md), averages the
+    gradients and applies ONE optimizer update. Gradients equal the full-batch
+    step exactly for per-sample-decomposable losses; BN batch statistics are
+    per-microbatch and the running stats see ``accum_steps`` momentum updates
+    per step (the standard accumulation semantics).
     """
     pipeline = T.make_train_pipeline(
         bool(cfg.augmentation), cfg.framework.input_size
@@ -164,28 +173,63 @@ def make_train_step(model, cfg) -> Callable:
         # (tests, dev); keep CPU in fp32.
         compute_dtype = jnp.dtype(jnp.float32)
 
+    def loss_fn(params, batch_stats, rgb, depth):
+        # Mixed precision: master params/optimizer stay fp32; the forward
+        # (and thus backward matmuls/convs) run in compute_dtype (bf16 on
+        # the MXU). Norm layers compute in the activation dtype with fp32
+        # statistics (nn/blocks.py); the loss itself is fp32.
+        cast_params = _cast_floating(params, compute_dtype)
+        pred, new_stats = _apply_model(
+            model, cast_params, batch_stats, rgb.astype(compute_dtype), True
+        )
+        pred = pred.astype(jnp.float32)
+        total, parts = combined_loss(pred, depth, cfg, rgb=rgb)
+        return total, (parts, new_stats)
+
+    if accum_steps <= 1:
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: TrainState, key, rgb_u8, depth_raw):
+            rgb, depth = pipeline(key, rgb_u8, depth_raw)
+            (loss, (parts, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, rgb, depth)
+            state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+            return state, {"loss": loss, **parts}
+
+        return step
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, key, rgb_u8, depth_raw):
-        rgb, depth = pipeline(key, rgb_u8, depth_raw)
-
-        def loss_fn(params):
-            # Mixed precision: master params/optimizer stay fp32; the forward
-            # (and thus backward matmuls/convs) run in compute_dtype (bf16 on
-            # the MXU). Norm layers compute in the activation dtype with fp32
-            # statistics (nn/blocks.py); the loss itself is fp32.
-            cast_params = _cast_floating(params, compute_dtype)
-            pred, new_stats = _apply_model(
-                model, cast_params, state.batch_stats, rgb.astype(compute_dtype), True
-            )
-            pred = pred.astype(jnp.float32)
-            total, parts = combined_loss(pred, depth, cfg, rgb=rgb)
-            return total, (parts, new_stats)
-
-        (loss, (parts, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
+        b = rgb_u8.shape[0]
+        assert b % accum_steps == 0, (
+            f"batch {b} not divisible by accum_steps {accum_steps}"
         )
+        m = b // accum_steps
+        rgb_m = rgb_u8.reshape(accum_steps, m, *rgb_u8.shape[1:])
+        depth_m = depth_raw.reshape(accum_steps, m, *depth_raw.shape[1:])
+        keys = jax.random.split(key, accum_steps)
+
+        def body(carry, xs):
+            grads_acc, stats = carry
+            k, rgb_u8_i, depth_i = xs
+            rgb, depth = pipeline(k, rgb_u8_i, depth_i)
+            (loss, (parts, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, stats, rgb, depth)
+            if not new_stats:
+                # BN-free model: flax returns a plain empty dict, which would
+                # break the scan carry's pytree-structure match vs FrozenDict.
+                new_stats = stats
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            return (grads_acc, new_stats), {"loss": loss, **parts}
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (grads_sum, new_stats), metrics = jax.lax.scan(
+            body, (zero_grads, state.batch_stats), (keys, rgb_m, depth_m)
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads_sum)
         state = state.apply_gradients(grads).replace(batch_stats=new_stats)
-        return state, {"loss": loss, **parts}
+        return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
     return step
 
@@ -283,6 +327,27 @@ def fit(
         train_parts = dict.fromkeys(LOSS_KEYS, 0.0)
         n_train = 0
         epoch_key = jax.random.fold_in(root_key, epoch)
+        # Per-iteration logging parity (src/main.py:145-156 logs every
+        # iteration): each step's metrics are buffered as device scalars and
+        # flushed to the logger every ``log_every`` iterations — every
+        # iteration gets its own log record with the reference's keys/values
+        # (loss x batch-size), but the host round-trip is amortized instead of
+        # syncing the pipeline once per step.
+        pending: list = []
+
+        def _flush_pending():
+            if not pending:
+                return
+            fetched = jax.device_get([m for _, m in pending])
+            for (bsz_i, _), m in zip(pending, fetched):
+                logger.log(
+                    {
+                        "iteration_train_loss": float(m["loss"]) * bsz_i,
+                        **{f"iteration_{k}": float(m[k]) * bsz_i for k in LOSS_KEYS},
+                    }
+                )
+            pending.clear()
+
         for it, batch in enumerate(train_loader):
             bsz = batch["rgb"].shape[0]
             batch = shard_batch(batch, mesh)
@@ -291,15 +356,9 @@ def fit(
                 state, key, batch["rgb"], batch["depth"]
             )
             n_train += bsz
-            if (it % log_every) == 0 or it == len(train_loader) - 1:
-                m = jax.device_get(metrics)
-                cur = float(m["loss"]) * bsz
-                logger.log(
-                    {
-                        "iteration_train_loss": cur,
-                        **{f"iteration_{k}": float(m[k]) * bsz for k in LOSS_KEYS},
-                    }
-                )
+            pending.append((bsz, metrics))
+            if len(pending) >= log_every or it == len(train_loader) - 1:
+                _flush_pending()
             # accumulate on device; fetch at epoch end
             if it == 0:
                 loss_acc = metrics["loss"] * bsz
@@ -409,9 +468,14 @@ def fit(
                 },
             },
         )
-        state = state.replace(
-            params=payload["params"], batch_stats=payload["batch_stats"]
-        )
+        params, batch_stats = payload["params"], payload["batch_stats"]
+        if mesh is not None:
+            # load_checkpoint returns host arrays; re-place them on the mesh so
+            # the returned state keeps its replicated sharding (and subsequent
+            # steps don't silently re-transfer from host every call).
+            params = replicate(params, mesh)
+            batch_stats = replicate(batch_stats, mesh)
+        state = state.replace(params=params, batch_stats=batch_stats)
     return state, history
 
 

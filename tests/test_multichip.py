@@ -214,6 +214,72 @@ def test_orbax_sharded_checkpoint_roundtrip(rng, tmp_path):
     assert p_new.sharding.is_equivalent_to(p_src.sharding, p_new.ndim)
 
 
+def test_orbax_cross_topology_restore(rng, tmp_path):
+    """The point of a sharded format: an (8,1)-mesh checkpoint restores onto
+    DIFFERENT topologies — (4,2), (4,1) (fewer devices), and a single-device
+    state — with identical values and the target's shardings
+    (VERDICT r2 weak #4; SURVEY.md §5.4)."""
+    from mde_tpu.train.checkpoint import (
+        load_checkpoint_sharded,
+        save_checkpoint_sharded,
+    )
+
+    cfg = _cfg()
+    model = SimpleUNet()
+    rgb_f = jnp.zeros((1, *SIZE, 3), jnp.float32)
+    step = make_train_step(model, cfg)
+
+    mesh_src = make_mesh(data=8, model=1)
+    state = create_train_state(model, jax.random.key(0), rgb_f, cfg, mesh_src)
+    b = {
+        "rgb": rng.integers(0, 255, (8, *SIZE, 3)).astype(np.uint8),
+        "depth": rng.uniform(0.5, 5.0, (8, *SIZE)).astype(np.float32),
+    }
+    sb = shard_batch(b, mesh_src)
+    state, _ = step(state, jax.random.key(1), sb["rgb"], sb["depth"])
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    save_checkpoint_sharded(str(tmp_path / "src"), payload)
+    want = jax.tree_util.tree_leaves(jax.device_get(payload))
+
+    for mesh_dst in (make_mesh(data=4, model=2), make_mesh(data=4, model=1), None):
+        fresh = create_train_state(model, jax.random.key(42), rgb_f, cfg, mesh_dst)
+        restored = load_checkpoint_sharded(
+            str(tmp_path / "src"),
+            {"params": fresh.params, "batch_stats": fresh.batch_stats,
+             "opt_state": fresh.opt_state, "step": fresh.step},
+        )
+        got = jax.tree_util.tree_leaves(jax.device_get(restored))
+        assert len(want) == len(got)
+        for a, c in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+        # restored leaves carry the TARGET topology's sharding; with no mesh
+        # the template params are uncommitted, so the restore hands back
+        # placement-neutral host arrays instead (auto-placed at first use)
+        p_new = jax.tree_util.tree_leaves(restored["params"])[0]
+        p_tpl = jax.tree_util.tree_leaves(fresh.params)[0]
+        if mesh_dst is not None:
+            assert p_new.sharding.is_equivalent_to(p_tpl.sharding, p_new.ndim)
+            assert len(p_new.sharding.device_set) == len(p_tpl.sharding.device_set)
+        else:
+            assert isinstance(p_new, np.ndarray)
+        # and the restored state actually trains on the new topology
+        sb2 = shard_batch(b, mesh_dst)
+        resumed = fresh.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            # placement-neutral by load_checkpoint_sharded's uncommitted-leaf
+            # handling (a committed device-0 scalar would clash with the mesh)
+            step=jnp.asarray(restored["step"], jnp.int32),
+        )
+        resumed, metrics = step(resumed, jax.random.key(2), sb2["rgb"], sb2["depth"])
+        assert np.isfinite(float(jax.device_get(metrics["loss"])))
+
+
 def test_tp_dp_flagship_step_matches_dp_only(rng):
     """Tensor parallelism (Megatron-style PartitionSpecs over the 'model'
     axis): one flagship train step on a (data=4, model=2) mesh must match the
@@ -243,7 +309,7 @@ def test_tp_dp_flagship_step_matches_dp_only(rng):
         state, metrics = step(state, jax.random.key(1), sb["rgb"], sb["depth"])
         return float(jax.device_get(metrics["loss"])), state
 
-    loss_dp, _ = run(make_mesh(data=8, model=1))
+    loss_dp, state_dp = run(make_mesh(data=8, model=1))
     mesh_tp = make_mesh(data=4, model=2)
     state_tp = create_train_state(model, jax.random.key(0), rgb_f, cfg, mesh_tp)
 
@@ -261,10 +327,28 @@ def test_tp_dp_flagship_step_matches_dp_only(rng):
         assert mu_qkv.sharding.spec == P(None, "model"), mu_qkv.sharding
 
     sb = shard_batch(batch, mesh_tp)
-    _, metrics = step(state_tp, jax.random.key(1), sb["rgb"], sb["depth"])
+    state_tp, metrics = step(state_tp, jax.random.key(1), sb["rgb"], sb["depth"])
     loss_tp = float(jax.device_get(metrics["loss"]))
 
     # bf16 compute + different collective reduction order: up to ~7e-4
     # observed across batches; a wrong sharding would diverge by orders of
     # magnitude.
     np.testing.assert_allclose(loss_tp, loss_dp, rtol=2e-3)
+
+    # Param-level verification (VERDICT r2 weak #5): gather the TP-sharded
+    # post-step parameters and compare against the dp run. One AdamW step at
+    # lr=1e-4 is ~±lr per entry; ulp-level differences in the TP all-reduce
+    # vs the replicated matmul can flip near-zero updates, so an lr-scaled
+    # absolute tolerance (as in test_dp_matches_single_device) is the right
+    # bar — a wrong TP sharding/collective diverges by whole update sizes on
+    # many leaves, not ulps.
+    p_dp = jax.device_get(state_dp.params)
+    p_tp = jax.device_get(state_tp.params)  # device_get gathers 'model' shards
+    mismatched = 0
+    total = 0
+    for a, b in zip(jax.tree_util.tree_leaves(p_dp), jax.tree_util.tree_leaves(p_tp)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape
+        total += a.size
+        mismatched += int(np.sum(np.abs(a - b) > 2.5e-4))
+    assert mismatched == 0, f"{mismatched}/{total} params differ beyond lr-scale"
