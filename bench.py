@@ -40,6 +40,22 @@ def train_step_flops(step, state, key, data):
         return None
 
 
+def cached_flops_per_image(size):
+    """Fallback FLOPs/image when the live backend's cost_analysis is
+    unavailable (the axon plugin compiles remotely): the number precomputed on
+    the CPU lowering by benchmarks/compute_flagship_flops.py — the textbook
+    count of the same HLO math, platform-independent for this model."""
+    path = os.path.join(os.path.dirname(__file__), "benchmarks", "flagship_flops.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        if list(rec.get("size", [])) == list(size):
+            return float(rec["flops_per_image"])
+    except Exception:
+        pass
+    return None
+
+
 def conv_anchor_tflops(warmup=3, steps=20, repeats=3):
     """Same-process achievable-TFLOP/s probe: a plain 3x3 bf16 conv at a
     flagship-decoder-like shape. Perf claims are expressed relative to this
@@ -282,6 +298,8 @@ def main():
     # runs as 2 x bs16 gradient accumulation below instead.
     candidates = [16, 8, 4] if platform != "cpu" else [4]
     results, flops_per_image = measure_many(candidates)
+    if flops_per_image is None:
+        flops_per_image = cached_flops_per_image((448, 576))
 
     ok = {b: r for b, r in results.items() if r}
     if not ok:

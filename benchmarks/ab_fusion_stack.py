@@ -144,6 +144,55 @@ def merged_resblock_entry(b):
     print(f"    -> merged grad speedup {t_gs / t_gm:4.2f}x")
 
 
+# --------------------------------------------- full FusionStack merged A/B
+def fusion_stack_merged_ab(b):
+    """The real landing target: the flagship's whole post-concat tail
+    (fusion_blocks_0 .. depth_head_1 at 448x576) with ResidualBlock's
+    merge_entry on vs off — same params (the merge keeps the tree identical),
+    fwd and train-style grad."""
+    print("\n== 2b. FusionStack merge_entry A/B (full tail @%dx%dx128 bs%d) ==" % (H, W, b))
+    import flax.linen as nn
+
+    from mde_tpu.models.midas_semantics import ResidualBlock
+    from mde_tpu.nn.blocks import BatchNorm, Conv
+    from mde_tpu.train.trainer import _cast_floating
+
+    class FusionStack(nn.Module):
+        merge: bool = True
+
+        @nn.compact
+        def __call__(self, x):
+            h = ResidualBlock(64, merge_entry=self.merge, name="fusion_blocks_0")(x)
+            h = ResidualBlock(32, merge_entry=self.merge, name="fusion_head_0")(h)
+            h = Conv(32, 3, 1, 1, name="fusion_head_1")(h)
+            h = BatchNorm(True, None, name="fusion_head_bn")(h)
+            h = nn.relu(h)
+            h = ResidualBlock(16, merge_entry=self.merge, name="depth_head_0")(h)
+            return Conv(1, 3, 1, 1, name="depth_head_1")(h)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((b, H, W, 128)), jnp.bfloat16)
+    m_on, m_off = FusionStack(True), FusionStack(False)
+    v = _cast_floating(m_off.init(jax.random.key(0), x[:1]), jnp.bfloat16)
+
+    f_on = jax.jit(lambda v, x: m_on.apply(v, x))
+    f_off = jax.jit(lambda v, x: m_off.apply(v, x))
+    a = np.float32(jax.device_get(f_off(v, x)))
+    c = np.float32(jax.device_get(f_on(v, x)))
+    rel = np.linalg.norm(a - c) / (np.linalg.norm(a) + 1e-9)
+    print(f"  rel-L2 merged vs separate (bf16): {rel:.2e}")
+    assert rel < 2e-2, rel
+    t_off = timeit("  separate fwd", f_off, v, x)
+    t_on = timeit("  merged fwd", f_on, v, x)
+    print(f"    -> merged fwd speedup {t_off / t_on:4.2f}x")
+
+    g_on = jax.jit(jax.grad(lambda v, x: jnp.sum(jnp.float32(m_on.apply(v, x)))))
+    g_off = jax.jit(jax.grad(lambda v, x: jnp.sum(jnp.float32(m_off.apply(v, x)))))
+    t_goff = timeit("  separate grad", g_off, v, x)
+    t_gon = timeit("  merged grad", g_on, v, x)
+    print(f"    -> merged grad speedup {t_goff / t_gon:4.2f}x")
+
+
 # ------------------------------------------------------ Winograd F(2x2,3x3)
 BT = np.array(
     [[1, 0, -1, 0], [0, 1, 1, 0], [0, -1, 1, 0], [0, 1, 0, -1]], np.float32
@@ -210,6 +259,7 @@ def main():
     print(f"platform={jax.devices()[0].platform} batch={b}")
     lane_probe(b)
     merged_resblock_entry(b)
+    fusion_stack_merged_ab(b)
     winograd_ab(b)
 
 

@@ -34,23 +34,59 @@ from .midas_small import MidasNetSmall
 
 class ResidualBlock(nn.Module):
     """conv-bn-relu-conv-bn + (1x1-bn shortcut) ResBlock
-    (midas_semantics.py:129-151)."""
+    (midas_semantics.py:129-151).
+
+    ``merge_entry``: conv1 (3x3) and the 1x1 shortcut read the SAME input, and
+    every FusionStack instance has cout <= 64 — under-128-lane on the MXU, so
+    two separate passes each waste most of the systolic array's output lanes
+    AND read x from HBM twice. Embedding the 1x1 at the center tap of a 3x3
+    kernel (zero elsewhere) and concatenating along cout turns them into ONE
+    conv, split afterwards by channel-range slicing (the axon-safe lowering
+    form, CLAUDE.md). Same math (the zero taps contribute exactly 0), same
+    params (kernel_only declaration keeps the param tree and init identical),
+    valid for any stride: a 3x3/pad-1/stride-s center tap samples x[s*i, s*j],
+    exactly the 1x1/pad-0/stride-s read. A/B harness:
+    benchmarks/ab_fusion_stack.py (experiments 2/2b)."""
 
     features: int
     stride: int = 1
     train: bool = False
     axis_name: Optional[str] = None
+    merge_entry: bool = True
 
     @nn.compact
     def __call__(self, x):
-        residual = x
-        h = Conv(self.features, 3, self.stride, 1, use_bias=False, name="conv1")(x)
+        f = self.features
+        needs_proj = self.stride != 1 or x.shape[-1] != f
+        if needs_proj and self.merge_entry:
+            k1, _ = Conv(f, 3, self.stride, 1, use_bias=False, name="conv1")(
+                x, kernel_only=True
+            )
+            ks, _ = Conv(f, 1, self.stride, 0, use_bias=False, name="shortcut_conv")(
+                x, kernel_only=True
+            )
+            kk = jnp.concatenate(
+                [k1, jnp.pad(ks, ((1, 1), (1, 1), (0, 0), (0, 0)))], axis=-1
+            )
+            if x.dtype != kk.dtype:
+                # init-time mix only; the training path casts params beforehand.
+                dt = jnp.promote_types(x.dtype, kk.dtype)
+                x, kk = x.astype(dt), kk.astype(dt)
+            y = jax.lax.conv_general_dilated(
+                x, kk, (self.stride, self.stride), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            h, residual = y[..., :f], y[..., f:]
+        else:
+            h = Conv(f, 3, self.stride, 1, use_bias=False, name="conv1")(x)
+            residual = x
+            if needs_proj:
+                residual = Conv(f, 1, self.stride, 0, use_bias=False, name="shortcut_conv")(x)
         h = BatchNorm(not self.train, self.axis_name, name="bn1")(h)
         h = nn.relu(h)
-        h = Conv(self.features, 3, 1, 1, use_bias=False, name="conv2")(h)
+        h = Conv(f, 3, 1, 1, use_bias=False, name="conv2")(h)
         h = BatchNorm(not self.train, self.axis_name, name="bn2")(h)
-        if self.stride != 1 or x.shape[-1] != self.features:
-            residual = Conv(self.features, 1, self.stride, 0, use_bias=False, name="shortcut_conv")(x)
+        if needs_proj:
             residual = BatchNorm(not self.train, self.axis_name, name="shortcut_bn")(residual)
         return nn.relu(h + residual)
 

@@ -46,8 +46,40 @@ def _torch_bias_init(fan_in: int):
     return init
 
 
+class _ConvParams(nn.Module):
+    """Declares exactly ``flax.linen.Conv``'s parameters — same names, shapes,
+    and initializers — WITHOUT applying the convolution, so a parent module can
+    merge several convs' kernels into one MXU pass while the checkpoint param
+    tree (``.../Conv_0/kernel``) stays byte-identical to the unmerged form.
+    Init values are identical too: flax derives param RNG from the param path,
+    not from creation order."""
+
+    features: int
+    kernel_size: int
+    groups: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", _kaiming_uniform, (k, k, in_ch // self.groups, self.features)
+        )
+        bias = None
+        if self.use_bias:
+            fan_in = (in_ch // self.groups) * k * k
+            bias = self.param("bias", _torch_bias_init(fan_in), (self.features,))
+        return kernel, bias
+
+
 class Conv(nn.Module):
-    """Conv2d with torch padding semantics: pad ``padding`` on each side."""
+    """Conv2d with torch padding semantics: pad ``padding`` on each side.
+
+    ``__call__(x, kernel_only=True)`` returns ``(kernel, bias)`` instead of
+    applying the conv — declared at the identical param path/shape/init — for
+    callers that fuse multiple convs over the same input into one kernel
+    (see models/midas_semantics.py ResidualBlock's merged entry).
+    """
 
     features: int
     kernel_size: int = 3
@@ -57,10 +89,14 @@ class Conv(nn.Module):
     groups: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, kernel_only: bool = False):
         k, s, p = self.kernel_size, self.stride, self.padding
         in_ch = x.shape[-1]
         fan_in = (in_ch // self.groups) * k * k
+        if kernel_only:
+            return _ConvParams(
+                self.features, k, self.groups, self.use_bias, name="Conv_0"
+            )(in_ch)
         return nn.Conv(
             features=self.features,
             kernel_size=(k, k),

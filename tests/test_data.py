@@ -220,3 +220,23 @@ def test_midas_resize_targets_nearest():
     assert out["mask"].shape == (64, 64)
     # nearest interpolation: every output value exists in the input
     assert np.isin(out["depth"], depth).all()
+
+
+def test_hostloader_native_default_policy(tmp_path):
+    """use_native default (None) resolves by host core count: multi-core hosts
+    take the native pool (per-sample Python churn dominates there), 1-core
+    hosts take PIL's libpng decode (~25% faster single-threaded — measured,
+    data/loader.py). Explicit True/False always wins."""
+    import os as _os
+    from unittest import mock
+
+    from mde_tpu.data.synthetic import generate
+
+    generate(str(tmp_path), n_train=2, n_test=1, size=(16, 20))
+    ds = DepthDataset(str(tmp_path / "train"), str(tmp_path / "train_list.txt"))
+    with mock.patch.object(_os, "cpu_count", return_value=1):
+        assert HostLoader(ds, batch_size=1)._native_hw is None
+    with mock.patch.object(_os, "cpu_count", return_value=8):
+        assert HostLoader(ds, batch_size=1)._native_hw == "unprobed"
+    assert HostLoader(ds, batch_size=1, use_native=False)._native_hw is None
+    assert HostLoader(ds, batch_size=1, use_native=True)._native_hw == "unprobed"

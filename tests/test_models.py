@@ -146,3 +146,28 @@ def test_depth_anything_v2_small():
     cfg = config_lib.defaults()
     cfg.model.model_type = "DepthAnythingV2_vits"
     assert type(build_model(cfg.model)).__name__ == "DepthAnythingV2"
+
+
+def test_residual_block_merged_entry_matches_separate():
+    """ResidualBlock's merged conv1+shortcut entry (one MXU pass, the
+    FusionStack lane-occupancy win — models/midas_semantics.py) is a pure
+    lowering rewrite: identical param tree, identical init values, identical
+    output vs the separate two-conv form, for both the stride-1 channel-change
+    case (all flagship sites) and a stride-2 case."""
+    from mde_tpu.models import ResidualBlock
+
+    rng = np.random.default_rng(3)
+    for stride, cin, f in [(1, 128, 64), (1, 64, 32), (2, 32, 16)]:
+        x = jnp.asarray(rng.standard_normal((2, 16, 24, cin)), jnp.float32)
+        merged = ResidualBlock(f, stride=stride, merge_entry=True)
+        sep = ResidualBlock(f, stride=stride, merge_entry=False)
+        vm = merged.init(jax.random.key(7), x)
+        vs = sep.init(jax.random.key(7), x)
+        # same tree structure AND same init values (path-derived RNG)
+        assert jax.tree_util.tree_structure(vm) == jax.tree_util.tree_structure(vs)
+        for a, b in zip(jax.tree_util.tree_leaves(vm), jax.tree_util.tree_leaves(vs)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        ym = merged.apply(vm, x)
+        ys = sep.apply(vm, x)
+        assert ym.shape == ys.shape
+        np.testing.assert_allclose(np.asarray(ym), np.asarray(ys), rtol=1e-5, atol=1e-5)

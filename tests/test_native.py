@@ -60,7 +60,10 @@ def test_npy_float64_converted(tmp_path, rng):
 
 def test_batch_loader_uses_native(fixture_dir):
     ds = DepthDataset(fixture_dir + "/train", fixture_dir + "/train_list.txt")
-    loader = HostLoader(ds, batch_size=3, num_workers=2)
+    # use_native=True explicitly: the default (None) resolves by host core
+    # count — False on this 1-core box — and this test pins the native decode
+    # path itself, not the default policy (covered in test_data.py).
+    loader = HostLoader(ds, batch_size=3, num_workers=2, use_native=True)
     batch = next(iter(loader))
     assert loader._native_hw == SIZE  # native path probed and active
     # results identical to the PIL path
