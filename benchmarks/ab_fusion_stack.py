@@ -193,6 +193,47 @@ def fusion_stack_merged_ab(b):
     print(f"    -> merged grad speedup {t_goff / t_gon:4.2f}x")
 
 
+# ----------------------------------------------- conv epilogue fusion check
+def epilogue_fusion_check(b):
+    """Is a hand-fused conv-BN-ReLU epilogue worth writing (VERDICT r3 item 3
+    suggestion)? Time conv alone vs conv+BN(train stats)+ReLU vs
+    conv+BN(running stats)+ReLU at the FusionStack shape. If the epilogue adds
+    ~nothing, XLA already fuses the elementwise tail into the conv's output
+    loop and a Pallas epilogue kernel has no headroom by construction."""
+    print("\n== 4. conv epilogue fusion: 3x3 64->64 @ %dx%d bs%d bf16 ==" % (H, W, b))
+    import flax.linen as nn
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((b, H, W, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.05, jnp.bfloat16)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, 64), jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal(64) * 0.1, jnp.bfloat16)
+
+    f_conv = jax.jit(conv3)
+    t_c = timeit("  conv only", f_conv, x, k)
+
+    @jax.jit
+    def conv_bn_eval_relu(x, k, scale, bias):
+        y = conv3(x, k)
+        return nn.relu(y * scale + bias)  # running-stats BN folds to affine
+
+    t_e = timeit("  conv + affine(BN-eval) + relu", conv_bn_eval_relu, x, k, scale, bias)
+
+    @jax.jit
+    def conv_bn_train_relu(x, k, scale, bias):
+        y = conv3(x, k)
+        mu = jnp.mean(jnp.float32(y), axis=(0, 1, 2))
+        var = jnp.var(jnp.float32(y), axis=(0, 1, 2))
+        yn = (y - mu.astype(y.dtype)) * jax.lax.rsqrt(var + 1e-5).astype(y.dtype)
+        return nn.relu(yn * scale + bias)
+
+    t_t = timeit("  conv + BN(train stats) + relu", conv_bn_train_relu, x, k, scale, bias)
+    print(
+        f"    -> epilogue overhead: eval +{100 * (t_e / t_c - 1):.1f}%, "
+        f"train-stats +{100 * (t_t / t_c - 1):.1f}% over bare conv"
+    )
+
+
 # ------------------------------------------------------ Winograd F(2x2,3x3)
 BT = np.array(
     [[1, 0, -1, 0], [0, 1, 1, 0], [0, -1, 1, 0], [0, 1, 0, -1]], np.float32
@@ -260,6 +301,7 @@ def main():
     lane_probe(b)
     merged_resblock_entry(b)
     fusion_stack_merged_ab(b)
+    epilogue_fusion_check(b)
     winograd_ab(b)
 
 

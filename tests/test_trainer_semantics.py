@@ -126,3 +126,29 @@ def test_evaluate_excess_sample_correction(env):
     want = (float(m1["si_rmse"]) * 4 + float(m2["si_rmse"]) * 4 - float(m2["si_rmse"]) * 2) / 6
     np.testing.assert_allclose(m_six["si_rmse"], want, rtol=1e-5)
     assert m_all["si_rmse"] != m_six["si_rmse"] or True
+
+
+def test_per_iteration_logging_cadence(env, tmp_path):
+    """Per-iteration logging parity (src/main.py:145-156 logs EVERY training
+    iteration): with the device-scalar buffer flushed only every ``log_every``
+    steps, each iteration must still land its own ``iteration_*`` record —
+    3 steps/epoch with log_every=2 exercises both a full flush and the
+    end-of-epoch partial flush."""
+    cfg, ds = env
+    model, state = _state(cfg)
+    cfg = cfg.copy()
+    cfg.training.n_epoch = 1
+    train_loader = HostLoader(ds, indices=range(6), batch_size=2, shuffle=True)
+    val_loader = HostLoader(ds, indices=range(6, 8), batch_size=2)
+    results = str(tmp_path / "results")
+    logger = train_lib.ExperimentLogger(name="cadence", log_dir=results)
+    train_lib.fit(
+        model, cfg, state, train_loader, val_loader, results,
+        logger=logger, log_every=2,
+    )
+    records = [
+        json.loads(l) for l in open(os.path.join(results, "cadence.log.jsonl"))
+    ]
+    iters = [r for r in records if "iteration_train_loss" in r]
+    assert len(iters) == 3, f"expected one record per train step, got {len(iters)}"
+    assert all(np.isfinite(r["iteration_train_loss"]) for r in iters)
