@@ -39,7 +39,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -47,24 +46,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks.timing import timeit
+
 H, W = 448, 576
-
-
-def timeit(name, fn, *args, warmup=3, steps=10, repeats=3):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.device_get(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
-    meds = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = fn(*args)
-        jax.device_get(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
-        meds.append((time.perf_counter() - t0) / steps)
-    sec = float(np.median(meds))
-    print(f"{name:58s} {sec * 1e3:8.3f} ms", flush=True)
-    return sec
 
 
 def conv3(x, k):

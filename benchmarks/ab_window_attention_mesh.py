@@ -15,30 +15,18 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks.timing import timeit
 
-def timeit(name, fn, *args, warmup=3, steps=20, repeats=3):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.device_get(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
-    meds = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = fn(*args)
-        jax.device_get(jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0])
-        meds.append((time.perf_counter() - t0) / steps)
-    sec = float(np.median(meds))
-    print(f"{name:54s} {sec * 1e3:8.3f} ms", flush=True)
-    return sec
+timeit = functools.partial(timeit, steps=20, width=54)
 
 
 def main():

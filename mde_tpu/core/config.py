@@ -209,6 +209,11 @@ def defaults() -> ConfigNode:
                 # for the measurement tooling.) CPU tests always run fp32.
                 "compute_dtype": "bfloat16",
                 "mesh": {"data": -1, "model": 1},  # -1 => all remaining devices
+                # Gradient accumulation: split each batch into N microbatches
+                # (forward+backward per microbatch under lax.scan, ONE optimizer
+                # update) — the path past compile/memory ceilings, e.g. the
+                # tunnel compiler's flagship-bs32 HTTP 500 runs as 2 x bs16.
+                "grad_accum_steps": 1,
                 "prefetch_depth": 2,
                 "drop_last": True,
                 # Keep decoded uint8/f32 samples in host RAM after epoch 1

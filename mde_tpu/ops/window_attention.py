@@ -213,9 +213,16 @@ def windowed_cross_attention(
 
 
 def _shardable_mesh():
-    """The registered training mesh, when sharding is actually in play."""
+    """The registered training mesh, when sharding is actually in play.
+
+    Requires a 'data' axis: the shard_map above shards the batch over it. A
+    registered mesh with other axis names (set_active_mesh accepts any Mesh)
+    falls back to the GSPMD-safe paths instead of a trace-time KeyError."""
     if jax.device_count() <= 1:
         return None
     from ..parallel.mesh import get_active_mesh
 
-    return get_active_mesh()
+    mesh = get_active_mesh()
+    if mesh is not None and "data" not in mesh.axis_names:
+        return None
+    return mesh

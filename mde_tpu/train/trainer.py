@@ -30,7 +30,7 @@ from ..data import transforms as T
 from ..losses import combined_loss
 from ..metrics import evaluation_metrics, full_metric_suite
 from ..ops.resize import resize_bilinear
-from ..parallel import replicate, shard_batch
+from ..parallel import active_mesh, get_active_mesh, replicate, shard_batch
 from .checkpoint import load_checkpoint, save_checkpoint
 from .logging import ExperimentLogger
 
@@ -138,6 +138,25 @@ def _cast_floating(tree, dtype):
     )
 
 
+def _pin_build_mesh(fn):
+    """Re-assert the mesh registered at step-BUILD time on every trace of
+    ``fn``. Jitted steps read the active-mesh registry when their Python body
+    runs — i.e. at TRACE time, which can be long after the step was built; by
+    then another ``create_train_state`` (e.g. an eval/baseline state with
+    mesh=None) may have swapped or cleared the global, silently changing which
+    lowering mesh-dispatched ops pick (ops/window_attention.py shard_map).
+    Capturing the mesh when the step builder runs closes that call-ordering
+    hazard."""
+    mesh = get_active_mesh()
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with active_mesh(mesh):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def _apply_model(model, params, batch_stats, rgb, train):
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
@@ -188,6 +207,7 @@ def make_train_step(model, cfg, accum_steps: int = 1) -> Callable:
 
     if accum_steps <= 1:
         @functools.partial(jax.jit, donate_argnums=(0,))
+        @_pin_build_mesh
         def step(state: TrainState, key, rgb_u8, depth_raw):
             rgb, depth = pipeline(key, rgb_u8, depth_raw)
             (loss, (parts, new_stats)), grads = jax.value_and_grad(
@@ -199,6 +219,7 @@ def make_train_step(model, cfg, accum_steps: int = 1) -> Callable:
         return step
 
     @functools.partial(jax.jit, donate_argnums=(0,))
+    @_pin_build_mesh
     def step(state: TrainState, key, rgb_u8, depth_raw):
         b = rgb_u8.shape[0]
         assert b % accum_steps == 0, (
@@ -238,6 +259,7 @@ def make_eval_step(model, cfg) -> Callable:
     input_size = tuple(int(s) for s in cfg.framework.input_size)
 
     @jax.jit
+    @_pin_build_mesh
     def step(state: TrainState, rgb_u8, depth_raw):
         rgb, depth = T.preprocess_eval(rgb_u8, depth_raw, input_size=input_size)
         pred, _ = _apply_model(model, state.params, state.batch_stats, rgb, False)
@@ -254,6 +276,7 @@ def make_metric_step(model, cfg) -> Callable:
     n_delta = int(cfg.framework.eval_n_delta)
 
     @jax.jit
+    @_pin_build_mesh
     def step(state: TrainState, rgb_u8, depth_raw):
         rgb, depth = T.preprocess_eval(rgb_u8, depth_raw, input_size=input_size)
         pred, _ = _apply_model(model, state.params, state.batch_stats, rgb, False)
@@ -269,6 +292,7 @@ def make_predict_step(model, cfg) -> Callable:
     native = tuple(int(s) for s in cfg.framework.native_size)
 
     @jax.jit
+    @_pin_build_mesh
     def step(state: TrainState, rgb_u8):
         rgb = T.preprocess_eval(rgb_u8, None, input_size=input_size, has_depth=False)
         pred, _ = _apply_model(model, state.params, state.batch_stats, rgb, False)
@@ -300,8 +324,13 @@ def fit(
     wandb-schema logging, and best-weights reload at the end.
     """
     logger = logger or ExperimentLogger(disabled=True)
-    train_step = make_train_step(model, cfg)
-    eval_step = make_eval_step(model, cfg)
+    accum = int(cfg.framework.get("grad_accum_steps", 1))
+    # Build the steps under fit's OWN mesh (falling back to the registry set by
+    # create_train_state) so the steps' build-time mesh capture can never
+    # disagree with the mesh the batches are sharded over below.
+    with active_mesh(mesh if mesh is not None else get_active_mesh()):
+        train_step = make_train_step(model, cfg, accum_steps=accum)
+        eval_step = make_eval_step(model, cfg)
     model_name = cfg.experiment.model_name
     num_epochs = int(cfg.training.n_epoch)
     patience = int(cfg.training.early_stopping.patience)

@@ -2,6 +2,7 @@
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from mde_tpu.ops import windowed_cross_attention
@@ -153,3 +154,53 @@ def test_window_locality(rng):
     np.testing.assert_allclose(pert[:, :16, 16:], base[:, :16, 16:], atol=1e-6)
     # attended window changed
     assert np.abs(pert[:, :16, :16] - base[:, :16, :16]).max() > 1e-3
+
+
+def test_active_mesh_without_data_axis_falls_back(rng):
+    """set_active_mesh accepts any Mesh; a registered mesh without a 'data'
+    axis must fall back to the GSPMD-safe path instead of a trace-time
+    KeyError in the shard_map dispatch."""
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    from mde_tpu.parallel import active_mesh
+
+    b, h, w, c, heads, ws = 2, 20, 24, 16, 4, 16
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+        for _ in range(3)
+    )
+    odd = Mesh(_np.asarray(jax.devices()).reshape(-1), axis_names=("x",))
+    with active_mesh(odd):
+        out = jax.jit(
+            lambda q, k, v: windowed_cross_attention(q, k, v, heads, ws)
+        )(q, k, v)
+    ref = windowed_cross_attention(q, k, v, heads, ws, backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_step_builders_pin_build_time_mesh():
+    """Jitted steps must use the mesh registered when they were BUILT, even if
+    a later create_train_state (e.g. a mesh-less eval/baseline state, exactly
+    what bench.py does) swaps or clears the global registry before the step's
+    first trace (trainer._pin_build_mesh)."""
+    from mde_tpu.parallel import get_active_mesh, make_mesh, set_active_mesh
+    from mde_tpu.train.trainer import _pin_build_mesh
+
+    mesh = make_mesh(data=8, model=1)
+    prev = set_active_mesh(mesh)
+    try:
+        seen = []
+
+        @jax.jit
+        @_pin_build_mesh
+        def f(x):
+            seen.append(get_active_mesh())  # trace-time read, as the ops do
+            return x + 1
+
+        set_active_mesh(None)  # another state build clears the registry...
+        f(jnp.ones(3))  # ...but the step still traces under its build mesh
+        assert seen and seen[0] is mesh
+        assert get_active_mesh() is None  # and the registry is restored after
+    finally:
+        set_active_mesh(prev)
