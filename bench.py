@@ -288,7 +288,36 @@ def measure_infer(batch: int, size=(448, 576), warmup=3, steps=20, repeats=3):
     return batch / float(np.median(windows))
 
 
+def _backend_alive(timeout_s: int = 600) -> bool:
+    """Probe backend init in a subprocess with a timeout. The axon tunnel has
+    failure modes where ``jax.devices()`` hangs indefinitely (plugin loads,
+    init never returns — observed 2026-08-18, multi-hour outage); probing in a
+    child lets the bench emit a structured error line instead of hanging the
+    driver. The child exits before we init in-process, so there is no double
+    claim on the device."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_alive():
+        print(json.dumps({
+            "metric": "train_images_per_sec_flagship", "value": 0.0,
+            "unit": "images/sec", "vs_baseline": None,
+            "error": "backend init hang/failure (axon tunnel down?)",
+        }))
+        return
+
     import jax
 
     platform = jax.devices()[0].platform
