@@ -47,6 +47,14 @@ def cases():
         ("midas_small", lambda: MidasNetSmall(features=64, **nn), (1, 64, 96, 3)),
         ("flagship_semantics",
          lambda: MidasNetSemantics(dinov2_image_size=(28, 42)), (1, 64, 96, 3)),
+        # Isolate the merged-entry conv lowering (models/midas_semantics.py
+        # ResidualBlock.merge_entry): if the merged variant fails while this
+        # one passes, the kernel-concat + channel-range-split lowering is the
+        # culprit (the axon miscompile class CLAUDE.md documents).
+        ("flagship_unmerged_entry",
+         lambda: MidasNetSemantics(
+             dinov2_image_size=(28, 42), merge_residual_entry=False),
+         (1, 64, 96, 3)),
         ("midas_v21", lambda: MidasNet(**nn), (1, 64, 96, 3)),
         ("dpt_vitb16", lambda: DPTDepthModel(backbone="vitb16_384", features=64, **nn),
          (1, 64, 96, 3)),

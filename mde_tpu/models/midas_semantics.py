@@ -213,6 +213,11 @@ class MidasNetSemantics(nn.Module):
     use_dgr: bool = False
     dinov2_image_size: tuple = (224, 280)
     axis_name: Optional[str] = None
+    # Lowering switch for the fusion/depth-head ResidualBlocks (see
+    # ResidualBlock.merge_entry). Same math and params either way; exposed at
+    # the model level so TPU A/Bs and the numeric sweep can isolate the merged
+    # conv lowering (benchmarks/ab_fusion_stack.py, tpu_numeric_sweep.py).
+    merge_residual_entry: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -248,14 +253,18 @@ class MidasNetSemantics(nn.Module):
         )(midas_features, dinov2_features)
         concat = jnp.concatenate([attended, midas_features], axis=-1)
 
-        fused = ResidualBlock(f, train=train, axis_name=self.axis_name, name="fusion_blocks_0")(concat)
+        rb = dict(
+            train=train, axis_name=self.axis_name,
+            merge_entry=self.merge_residual_entry,
+        )
+        fused = ResidualBlock(f, name="fusion_blocks_0", **rb)(concat)
 
-        h = ResidualBlock(f // 2, train=train, axis_name=self.axis_name, name="fusion_head_0")(fused)
+        h = ResidualBlock(f // 2, name="fusion_head_0", **rb)(fused)
         h = Conv(f // 2, 3, 1, 1, name="fusion_head_1")(h)
         h = BatchNorm(not train, self.axis_name, name="fusion_head_bn")(h)
         h = nn.relu(h)
 
-        h = ResidualBlock(f // 4, train=train, axis_name=self.axis_name, name="depth_head_0")(h)
+        h = ResidualBlock(f // 4, name="depth_head_0", **rb)(h)
         depth = Conv(1, 3, 1, 1, name="depth_head_1")(h)
         if self.non_negative:
             depth = nn.relu(depth)
