@@ -48,12 +48,14 @@ def cases():
         ("flagship_semantics",
          lambda: MidasNetSemantics(dinov2_image_size=(28, 42)), (1, 64, 96, 3)),
         # Isolate the merged-entry conv lowering (models/midas_semantics.py
-        # ResidualBlock.merge_entry): if the merged variant fails while this
-        # one passes, the kernel-concat + channel-range-split lowering is the
-        # culprit (the axon miscompile class CLAUDE.md documents).
-        ("flagship_unmerged_entry",
+        # ResidualBlock.merge_entry, default OFF pending this very check): if
+        # this variant fails while flagship_semantics passes, the kernel-concat
+        # + channel-range-split lowering is the culprit (the axon miscompile
+        # class CLAUDE.md documents). Passing here is the gate for flipping the
+        # model default to True.
+        ("flagship_merged_entry",
          lambda: MidasNetSemantics(
-             dinov2_image_size=(28, 42), merge_residual_entry=False),
+             dinov2_image_size=(28, 42), merge_residual_entry=True),
          (1, 64, 96, 3)),
         ("midas_v21", lambda: MidasNet(**nn), (1, 64, 96, 3)),
         ("dpt_vitb16", lambda: DPTDepthModel(backbone="vitb16_384", features=64, **nn),

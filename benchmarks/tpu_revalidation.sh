@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-3 TPU revalidation: everything that was blocked on the axon tunnel
+# outage, in dependency order. Run from the repo root when the tunnel is back
+# (the /tmp/tpu_up watcher, or `timeout 120 python -c "import jax; jax.devices()"`).
+#
+#   bash benchmarks/tpu_revalidation.sh [logfile]
+#
+# Order matters: the cheap compile check first (fail fast if the tunnel is
+# lying), then the numeric sweep (correctness gates perf — if
+# flagship_merged_entry FAILS the sweep, do NOT flip merge_entry defaults,
+# whatever the A/B says), then the FusionStack A/Bs, then the full bench.
+# Each step gets its own timeout; the remote compile helper slows down over a
+# session (CLAUDE.md), so later steps get bigger budgets.
+set -u
+cd "$(dirname "$0")/.."
+LOG="${1:-/tmp/tpu_reval.log}"
+: > "$LOG"
+run() {
+  local name="$1" tmo="$2"; shift 2
+  echo "=== [$name] $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
+  timeout "$tmo" "$@" >> "$LOG" 2>&1
+  local rc=$?
+  echo "=== [$name] rc=$rc $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
+  return $rc
+}
+
+run entry_compile 900 python -c "import jax, __graft_entry__ as g; f,a=g.entry(); print('entry out', jax.jit(f)(*a).shape)" \
+  || { echo "entry() compile FAILED — tunnel not usable, aborting" | tee -a "$LOG"; exit 1; }
+
+run numeric_sweep 5400 python benchmarks/tpu_numeric_sweep.py
+SWEEP_RC=$?
+
+run ab_fusion_stack 3600 python benchmarks/ab_fusion_stack.py
+
+run bench 3600 python bench.py
+
+echo "=== summary ===" | tee -a "$LOG"
+grep -E "rc=|REL_L2|rel_l2|PASS|FAIL|speedup|\"metric\"" "$LOG" | tail -60
+[ $SWEEP_RC -ne 0 ] && echo "NUMERIC SWEEP FAILED — investigate before touching merge_entry defaults"
+exit 0

@@ -52,7 +52,11 @@ class ResidualBlock(nn.Module):
     stride: int = 1
     train: bool = False
     axis_name: Optional[str] = None
-    merge_entry: bool = True
+    # Default False until the TPU-vs-CPU numeric cross-check has run (CLAUDE.md
+    # policy for new slice/reshape-heavy lowerings; the axon tunnel was down
+    # the whole session this landed in). Flip to True once
+    # benchmarks/tpu_numeric_sweep.py + ab_fusion_stack.py pass on real TPU.
+    merge_entry: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -217,7 +221,8 @@ class MidasNetSemantics(nn.Module):
     # ResidualBlock.merge_entry). Same math and params either way; exposed at
     # the model level so TPU A/Bs and the numeric sweep can isolate the merged
     # conv lowering (benchmarks/ab_fusion_stack.py, tpu_numeric_sweep.py).
-    merge_residual_entry: bool = True
+    # Default False pending the TPU numeric cross-check (see ResidualBlock).
+    merge_residual_entry: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
