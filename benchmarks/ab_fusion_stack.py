@@ -29,8 +29,27 @@ interleave-free but same-session (each prints its own numbers):
 The RESULT block at the bottom of this docstring records the measured verdict
 (kept current, win or lose — documented negatives are the point of this file).
 
-RESULT: see the committed run log appended below after the TPU measurement
-(this block intentionally left empty until the numbers exist).
+RESULT (TPU v5e via axon, bs8 bf16, 2026-08-18, /tmp/ab_fusion.log):
+
+1. Lane probe CONFIRMS lane-bound small-cout convs: 3x3 cin=64 @448x576 runs
+   8.1 / 8.4 / 7.6 / 7.7 ms at cout 16/32/64/128 (flat, 4.7->39.4 TFLOP/s),
+   then 11.4 ms at cout=256. Time ~ HW*cin*K^2*roundup(cout,128) as predicted.
+2. Merged conv1+shortcut at the fusion_head_0 shape ALONE is a wash (fwd
+   0.95x, grad 0.93x — the post-split channel copies eat the lane win), but
+   the FULL FusionStack tail with merge_entry=True wins 1.07x fwd
+   (33.80 -> 31.65 ms) and 1.07x grad (70.37 -> 65.69 ms), rel-L2 vs the
+   separate lowering 2.22e-04 (bf16 noise floor). Landed: the win comes from
+   the merged entries deeper in the stack where the splits feed convs XLA
+   fuses the slice into, not from the head block measured in isolation.
+3. Winograd F(2x2,3x3) LOSES badly: fwd 0.18x (41.1 vs 7.4 ms), grad 0.12x.
+   The 2.25x MAC saving is swamped by 16 tap matmuls that contract only
+   cin=64 instead of 9*cin=576 — each runs far below the MXU's depth sweet
+   spot — plus 4x intermediate HBM traffic. Documented negative; direct conv
+   stays (it already runs at 20.6 TFLOP/s here).
+4. Conv epilogue fusion is ALREADY FREE in eval form: conv+affine+relu 7.35 ms
+   vs bare conv 7.40 ms (-0.8%). Train-stats BN costs +21.7% (the stats
+   reduction is a second pass over the activation). No hand-fused kernel
+   warranted; negative result kept as the justification.
 
 Run from repo root: python benchmarks/ab_fusion_stack.py [batch]
 """
