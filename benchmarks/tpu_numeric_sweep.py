@@ -45,17 +45,19 @@ def cases():
     return [
         ("simple_unet", lambda: SimpleUNet(), (1, 64, 96, 3)),
         ("midas_small", lambda: MidasNetSmall(features=64, **nn), (1, 64, 96, 3)),
+        # Default flagship (merge_residual_entry=True since 2026-08-18 — the
+        # merged variant passed this sweep at rel-L2 1.04e-3 and won the
+        # full-tail A/B 1.07x fwd/bwd, ab_fusion_stack.py RESULT block).
         ("flagship_semantics",
          lambda: MidasNetSemantics(dinov2_image_size=(28, 42)), (1, 64, 96, 3)),
-        # Isolate the merged-entry conv lowering (models/midas_semantics.py
-        # ResidualBlock.merge_entry, default OFF pending this very check): if
-        # this variant fails while flagship_semantics passes, the kernel-concat
-        # + channel-range-split lowering is the culprit (the axon miscompile
-        # class CLAUDE.md documents). Passing here is the gate for flipping the
-        # model default to True.
-        ("flagship_merged_entry",
+        # Keep the unmerged lowering swept too, isolating the kernel-concat +
+        # channel-range-split entry (models/midas_semantics.py
+        # ResidualBlock.merge_entry) against the axon miscompile class
+        # CLAUDE.md documents: if exactly one of this pair fails, the merged
+        # entry lowering is the culprit.
+        ("flagship_unmerged_entry",
          lambda: MidasNetSemantics(
-             dinov2_image_size=(28, 42), merge_residual_entry=True),
+             dinov2_image_size=(28, 42), merge_residual_entry=False),
          (1, 64, 96, 3)),
         ("midas_v21", lambda: MidasNet(**nn), (1, 64, 96, 3)),
         ("dpt_vitb16", lambda: DPTDepthModel(backbone="vitb16_384", features=64, **nn),

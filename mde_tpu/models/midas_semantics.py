@@ -52,10 +52,10 @@ class ResidualBlock(nn.Module):
     stride: int = 1
     train: bool = False
     axis_name: Optional[str] = None
-    # Default False until the TPU-vs-CPU numeric cross-check has run (CLAUDE.md
-    # policy for new slice/reshape-heavy lowerings; the axon tunnel was down
-    # the whole session this landed in). Flip to True once
-    # benchmarks/tpu_numeric_sweep.py + ab_fusion_stack.py pass on real TPU.
+    # The block default stays False (standalone uses are not swept); the
+    # flagship turns it on via MidasNetSemantics.merge_residual_entry, whose
+    # lowering passed the TPU-vs-CPU numeric cross-check and won its A/B
+    # (tpu_numeric_sweep.py flagship variants; ab_fusion_stack.py RESULT).
     merge_entry: bool = False
 
     @nn.compact
@@ -221,8 +221,11 @@ class MidasNetSemantics(nn.Module):
     # ResidualBlock.merge_entry). Same math and params either way; exposed at
     # the model level so TPU A/Bs and the numeric sweep can isolate the merged
     # conv lowering (benchmarks/ab_fusion_stack.py, tpu_numeric_sweep.py).
-    # Default False pending the TPU numeric cross-check (see ResidualBlock).
-    merge_residual_entry: bool = False
+    # Default ON: the TPU numeric sweep's flagship_merged_entry variant passed
+    # (rel-L2 1.04e-3, same as the unmerged flagship's 1.05e-3, 2026-08-18)
+    # and the full-tail A/B measured 1.07x fwd AND 1.07x bwd on the v5e
+    # (ab_fusion_stack.py RESULT block).
+    merge_residual_entry: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
