@@ -1,0 +1,314 @@
+"""Dynamic-batching depth-inference server — the online serving surface.
+
+Beyond the reference (which ships only the offline prediction dump,
+/root/reference/src/generate_predictions.py): a long-lived serving process
+around the same jitted predict path as tools/generate_predictions.py
+(preprocess -> forward -> align-corners resize to the native 426x560,
+train/trainer.py::make_predict_step), designed TPU-first:
+
+- **Static-shape batch buckets** (1, 2, 4, ... max_batch): every request
+  group is zero-padded up to the nearest bucket so XLA compiles a fixed set
+  of programs exactly once (optionally warmed at startup) and never retraces
+  — dynamic request counts must not become dynamic shapes on a TPU.
+- **Dynamic batcher**: concurrent requests coalesce into one device step
+  (first request opens a bounded ``window_ms`` collection window), amortizing
+  dispatch overhead and filling the MXU's batch dimension. Results fan back
+  out to each waiter.
+- **Host pipeline off the device path**: PNG/NPY decode and any host-side
+  resize to the native geometry happen on the HTTP worker threads; the
+  batcher thread only stacks ready uint8 arrays and feeds the device.
+
+HTTP surface (stdlib ThreadingHTTPServer — no new dependencies):
+  POST /predict  body = PNG bytes or .npy bytes (H, W, 3) uint8
+                 -> 200, application/x-npy float32 (426, 560) depth map
+                 (X-Batch-Size header reports the coalesced device batch)
+  GET  /healthz  -> 200, JSON {status, model, buckets, stats}
+
+Run: ``python -m mde_tpu.tools.serve --config ... [--port 8000]``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_NPY_MAGIC = b"\x93NUMPY"
+
+
+def _buckets(max_batch: int) -> tuple[int, ...]:
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return tuple(out)
+
+
+class _Item:
+    __slots__ = ("img", "event", "result", "error", "batch_size")
+
+    def __init__(self, img: np.ndarray):
+        self.img = img
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+        self.batch_size = 0
+
+
+class DynamicBatcher:
+    """Coalesces concurrent single-image requests into bucketed device steps.
+
+    ``predict_many`` receives a uint8 (N, H, W, 3) stack with N equal to one
+    of ``buckets`` and returns (N, h', w') float32; only the first
+    ``n_valid`` rows are delivered (the tail is zero padding).
+    """
+
+    def __init__(
+        self,
+        predict_many: Callable[[np.ndarray], np.ndarray],
+        max_batch: int = 8,
+        window_ms: float = 5.0,
+    ):
+        self._predict_many = predict_many
+        self.max_batch = int(max_batch)
+        self.window_s = float(window_ms) / 1000.0
+        self.buckets = _buckets(self.max_batch)
+        self._q: "queue.Queue[Optional[_Item]]" = queue.Queue()
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "device_steps": 0, "max_coalesced": 0}
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(
+        self, img: np.ndarray, timeout: Optional[float] = 60.0
+    ) -> tuple[np.ndarray, int]:
+        """Blocking: returns (depth, coalesced_batch_size) for one image."""
+        item = _Item(img)
+        self._q.put(item)
+        if not item.event.wait(timeout):
+            raise TimeoutError("prediction timed out")
+        if item.error is not None:
+            raise item.error
+        return item.result, item.batch_size
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join(timeout=5.0)
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _run(self):
+        while True:
+            first = self._q.get()
+            if first is None:
+                return
+            items = [first]
+            deadline = time.monotonic() + self.window_s
+            while len(items) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._flush(items)
+                    return
+                items.append(nxt)
+            self._flush(items)
+
+    def _flush(self, items: Sequence[_Item]):
+        n = len(items)
+        bucket = self._bucket_for(n)
+        batch = np.zeros((bucket,) + items[0].img.shape, dtype=items[0].img.dtype)
+        try:
+            for i, it in enumerate(items):
+                batch[i] = it.img  # shape mismatches raise here, per item batch
+            preds = np.asarray(self._predict_many(batch))
+            for i, it in enumerate(items):
+                it.result = preds[i]
+                it.batch_size = n
+        except BaseException as e:  # propagate to every waiter, keep serving
+            for it in items:
+                it.error = e
+        finally:
+            with self._lock:
+                self.stats["requests"] += n
+                self.stats["device_steps"] += 1
+                self.stats["max_coalesced"] = max(self.stats["max_coalesced"], n)
+            for it in items:
+                it.event.set()
+
+
+class DepthService:
+    """Model + jitted bucketed predict; owns decode/normalize-to-native."""
+
+    def __init__(self, model, state, cfg, mesh=None, max_batch: int = 8,
+                 window_ms: float = 5.0):
+        from ..parallel.mesh import shard_batch
+        from ..train.trainer import make_predict_step
+
+        self.cfg = cfg
+        self.native = tuple(int(s) for s in cfg.framework.native_size)
+        self.model_name = str(cfg.experiment.model_name)
+        self._state = state
+        self._mesh = mesh
+        self._shard = shard_batch
+        self._step = make_predict_step(model, cfg)
+        self.batcher = DynamicBatcher(self._predict_many, max_batch, window_ms)
+
+    # -- device path -------------------------------------------------------
+    def _predict_many(self, rgb_u8: np.ndarray) -> np.ndarray:
+        import jax
+
+        sharded = self._shard({"rgb": rgb_u8}, self._mesh)
+        return np.asarray(jax.device_get(self._step(self._state, sharded["rgb"])))
+
+    def warmup(self):
+        """Compile every bucket program up front (first-request latency on a
+        TPU is otherwise a full XLA compile)."""
+        h, w = self.native
+        for b in self.batcher.buckets:
+            self._predict_many(np.zeros((b, h, w, 3), np.uint8))
+
+    # -- host path ---------------------------------------------------------
+    def decode(self, body: bytes) -> np.ndarray:
+        """PNG or .npy request bytes -> (H_native, W_native, 3) uint8."""
+        if body.startswith(_PNG_MAGIC):
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(body)).convert("RGB")
+            if (img.height, img.width) != self.native:
+                img = img.resize((self.native[1], self.native[0]), Image.BILINEAR)
+            return np.asarray(img, np.uint8)
+        if body.startswith(_NPY_MAGIC):
+            arr = np.load(io.BytesIO(body))
+            if arr.ndim != 3 or arr.shape[-1] != 3:
+                raise ValueError(f"expected (H, W, 3) array, got {arr.shape}")
+            if arr.shape[:2] != self.native:
+                from PIL import Image
+
+                img = Image.fromarray(np.asarray(arr, np.uint8))
+                img = img.resize((self.native[1], self.native[0]), Image.BILINEAR)
+                return np.asarray(img, np.uint8)
+            return np.asarray(arr, np.uint8)
+        raise ValueError("unsupported payload: expected PNG or .npy bytes")
+
+    def predict_bytes(self, body: bytes) -> tuple[bytes, int]:
+        """Decode -> batched predict -> .npy response bytes, coalesced size."""
+        img = np.ascontiguousarray(self.decode(body))
+        depth, coalesced = self.batcher.submit(img)
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(depth, np.float32))
+        return buf.getvalue(), coalesced
+
+    def close(self):
+        self.batcher.close()
+
+
+def make_handler(service: DepthService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str, extra=None):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                self._send(404, b"not found", "text/plain")
+                return
+            payload = {
+                "status": "ok",
+                "model": service.model_name,
+                "native_size": list(service.native),
+                "buckets": list(service.batcher.buckets),
+                "stats": dict(service.batcher.stats),
+            }
+            self._send(200, json.dumps(payload).encode(), "application/json")
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, b"not found", "text/plain")
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                out, coalesced = service.predict_bytes(body)
+            except ValueError as e:
+                self._send(400, str(e).encode(), "text/plain")
+                return
+            except TimeoutError as e:
+                self._send(503, str(e).encode(), "text/plain")
+                return
+            self._send(200, out, "application/x-npy",
+                       {"X-Batch-Size": str(coalesced)})
+
+    return Handler
+
+
+def build_service(cfg, max_batch: int = 8, window_ms: float = 5.0,
+                  warmup: bool = True) -> DepthService:
+    from ..parallel import make_training_mesh
+    from .common import bootstrap_model, resolve_paths
+
+    paths = resolve_paths(cfg)
+    ckpt = os.path.join(
+        paths["results_dir"], f"best_model_{cfg.experiment.model_name}.pth"
+    )
+    mesh = make_training_mesh(cfg, max_batch)
+    model, state, _ = bootstrap_model(cfg, mesh, checkpoint=ckpt)
+    service = DepthService(model, state, cfg, mesh=mesh, max_batch=max_batch,
+                           window_ms=window_ms)
+    if warmup:
+        service.warmup()
+    return service
+
+
+def main():
+    from .common import parse_config
+
+    def extra(p):
+        p.add_argument("--host", default="127.0.0.1")
+        p.add_argument("--port", type=int, default=8000)
+        p.add_argument("--max-batch", type=int, default=8)
+        p.add_argument("--window-ms", type=float, default=5.0)
+        p.add_argument("--no-warmup", action="store_true")
+
+    cfg, args = parse_config("Depth inference server", extra=extra)
+    service = build_service(cfg, args.max_batch, args.window_ms,
+                            warmup=not args.no_warmup)
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    print(f"serving {service.model_name} on http://{args.host}:{args.port} "
+          f"(buckets {service.batcher.buckets})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        service.close()
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

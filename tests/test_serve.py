@@ -1,0 +1,200 @@
+"""Serving surface: dynamic batcher semantics + HTTP end-to-end on the CPU
+backend (synthetic data, U_Net config — same environment as test_tools.py)."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from mde_tpu.tools.serve import DynamicBatcher, _buckets, build_service, make_handler
+
+
+def test_bucket_ladder():
+    assert _buckets(8) == (1, 2, 4, 8)
+    assert _buckets(6) == (1, 2, 4, 6)
+    assert _buckets(1) == (1,)
+
+
+def test_dynamic_batcher_coalesces_and_pads():
+    """Deterministic coalescing: the first call blocks the batcher thread in
+    predict while three more requests queue; the second device step must then
+    collect all three at once (already enqueued when its window opens), padded
+    to the 4-bucket."""
+    seen = []
+    gate = threading.Event()
+    first_entered = threading.Event()
+
+    def predict_many(batch):
+        if not seen:
+            first_entered.set()
+            assert gate.wait(10.0)
+        seen.append(batch.copy())
+        return batch[..., 0, 0, 0].astype(np.float32) * 2.0  # per-row marker
+
+    b = DynamicBatcher(predict_many, max_batch=4, window_ms=50.0)
+    try:
+        results = {}
+
+        def call(v):
+            img = np.full((2, 3, 3), v, np.uint8)
+            results[v] = b.submit(img)
+
+        t0 = threading.Thread(target=call, args=(10,))
+        t0.start()
+        assert first_entered.wait(10.0)  # batcher is now blocked mid-predict
+        rest = [threading.Thread(target=call, args=(v,)) for v in (20, 30, 40)]
+        for t in rest:
+            t.start()
+        import time
+
+        time.sleep(0.2)  # let the three requests reach the queue
+        gate.set()
+        t0.join(10.0)
+        for t in rest:
+            t.join(10.0)
+
+        assert results[10] == (20.0, 1)
+        for v in (20, 30, 40):
+            depth, coalesced = results[v]
+            assert depth == 2.0 * v
+            assert coalesced == 3
+        assert len(seen) == 2
+        assert seen[0].shape[0] == 1  # first request alone
+        assert seen[1].shape[0] == 4  # 3 requests padded to the 4-bucket
+        assert not seen[1][3].any()  # zero padding
+        assert b.stats == {"requests": 4, "device_steps": 2, "max_coalesced": 3}
+    finally:
+        b.close()
+
+
+def test_dynamic_batcher_propagates_errors():
+    def predict_many(batch):
+        raise RuntimeError("device on fire")
+
+    b = DynamicBatcher(predict_many, max_batch=2, window_ms=1.0)
+    try:
+        with pytest.raises(RuntimeError, match="device on fire"):
+            b.submit(np.zeros((2, 2, 3), np.uint8))
+        # the batcher thread survives an erroring step
+        with pytest.raises(RuntimeError):
+            b.submit(np.zeros((2, 2, 3), np.uint8))
+    finally:
+        b.close()
+
+
+@pytest.fixture(scope="module")
+def serve_env(tmp_path_factory):
+    from mde_tpu.core import config as config_lib
+    from mde_tpu.data import synthetic
+
+    root = tmp_path_factory.mktemp("serve")
+    data = root / "data"
+    synthetic.generate(str(data), n_train=4, n_test=2, size=(64, 96))
+    cfg_path = root / "config.yaml"
+    cfg_path.write_text(
+        f"""
+paths:
+  data_dir: {data}
+  results_dir: {root}/results
+  predictions_dir: {root}/predictions
+experiment:
+  model_name: serve_unet
+  wandb_disable: True
+training:
+  n_epoch: 1
+  batch_size: 4
+model:
+  model_type: U_Net
+  dinov2_type: null
+framework:
+  input_size: [64, 96]
+  native_size: [64, 96]
+  num_workers: 1
+  mesh: {{data: -1, model: 1}}
+"""
+    )
+    cfg = config_lib.load(str(cfg_path))
+    service = build_service(cfg, max_batch=4, window_ms=5.0, warmup=True)
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield service, f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+    server.server_close()
+    service.close()
+
+
+def _post(url, body):
+    req = urllib.request.Request(url + "/predict", data=body, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, resp.read(), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), dict(e.headers)
+
+
+def test_serve_http_png_and_npy(serve_env):
+    service, url = serve_env
+    rng = np.random.default_rng(0)
+
+    # PNG at a non-native size: host-resized to native before the device path.
+    from PIL import Image
+
+    img = rng.integers(0, 255, (50, 70, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    status, body, headers = _post(url, buf.getvalue())
+    assert status == 200, body
+    depth = np.load(io.BytesIO(body))
+    assert depth.shape == tuple(service.native)
+    assert depth.dtype == np.float32
+    assert int(headers["X-Batch-Size"]) >= 1
+
+    # .npy payload at native size.
+    buf = io.BytesIO()
+    np.save(buf, rng.integers(0, 255, (64, 96, 3), np.uint8))
+    status, body, _ = _post(url, buf.getvalue())
+    assert status == 200, body
+    assert np.load(io.BytesIO(body)).shape == tuple(service.native)
+
+    # Bad payload -> 400, server keeps serving.
+    status, body, _ = _post(url, b"definitely not an image")
+    assert status == 400
+    assert b"unsupported payload" in body
+
+
+def test_serve_healthz_and_concurrency(serve_env):
+    service, url = serve_env
+    rng = np.random.default_rng(1)
+    payloads = []
+    for _ in range(4):
+        buf = io.BytesIO()
+        np.save(buf, rng.integers(0, 255, (64, 96, 3), np.uint8))
+        payloads.append(buf.getvalue())
+
+    results = [None] * 4
+
+    def call(i):
+        results[i] = _post(url, payloads[i])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60.0)
+    for status, body, _ in results:
+        assert status == 200
+        assert np.load(io.BytesIO(body)).shape == tuple(service.native)
+
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as resp:
+        health = json.loads(resp.read())
+    assert health["status"] == "ok"
+    assert health["model"] == "serve_unet"
+    assert health["buckets"] == [1, 2, 4]
+    assert health["stats"]["requests"] >= 6  # warmup excluded; http calls only
