@@ -77,11 +77,23 @@ class DynamicBatcher:
         predict_many: Callable[[np.ndarray], np.ndarray],
         max_batch: int = 8,
         window_ms: float = 5.0,
+        item_shape: Optional[tuple] = None,
+        item_dtype=np.uint8,
+        request_timeout_s: float = 300.0,
     ):
         self._predict_many = predict_many
         self.max_batch = int(max_batch)
         self.window_s = float(window_ms) / 1000.0
         self.buckets = _buckets(self.max_batch)
+        # Per-item contract, enforced at submit() so one bad request fails
+        # alone instead of poisoning whoever it got coalesced with (and so a
+        # float image can't be silently value-truncated into the uint8 batch).
+        self.item_shape = tuple(item_shape) if item_shape is not None else None
+        self.item_dtype = np.dtype(item_dtype)
+        # Default must exceed axon first-compile latency (20s-minutes,
+        # CLAUDE.md): a waiter that gives up leaves its item in flight, so the
+        # device step runs for nobody.
+        self.request_timeout_s = float(request_timeout_s)
         self._q: "queue.Queue[Optional[_Item]]" = queue.Queue()
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "device_steps": 0, "max_coalesced": 0}
@@ -89,12 +101,17 @@ class DynamicBatcher:
         self._thread.start()
 
     def submit(
-        self, img: np.ndarray, timeout: Optional[float] = 60.0
+        self, img: np.ndarray, timeout: Optional[float] = None
     ) -> tuple[np.ndarray, int]:
         """Blocking: returns (depth, coalesced_batch_size) for one image."""
+        img = np.asarray(img)
+        if self.item_shape is not None and img.shape != self.item_shape:
+            raise ValueError(f"expected image shape {self.item_shape}, got {img.shape}")
+        if img.dtype != self.item_dtype:
+            raise ValueError(f"expected dtype {self.item_dtype}, got {img.dtype}")
         item = _Item(img)
         self._q.put(item)
-        if not item.event.wait(timeout):
+        if not item.event.wait(timeout if timeout is not None else self.request_timeout_s):
             raise TimeoutError("prediction timed out")
         if item.error is not None:
             raise item.error
@@ -132,12 +149,16 @@ class DynamicBatcher:
             self._flush(items)
 
     def _flush(self, items: Sequence[_Item]):
+        """One device step for ``items``. EVERYTHING is inside the try: an
+        exception anywhere (allocation included) must fail these waiters, not
+        kill the batcher thread — a dead thread would leave every later
+        request timing out while /healthz still answers ok."""
         n = len(items)
-        bucket = self._bucket_for(n)
-        batch = np.zeros((bucket,) + items[0].img.shape, dtype=items[0].img.dtype)
         try:
+            bucket = self._bucket_for(n)
+            batch = np.zeros((bucket,) + items[0].img.shape, dtype=items[0].img.dtype)
             for i, it in enumerate(items):
-                batch[i] = it.img  # shape mismatches raise here, per item batch
+                batch[i] = it.img  # shapes/dtypes pre-validated in submit()
             preds = np.asarray(self._predict_many(batch))
             for i, it in enumerate(items):
                 it.result = preds[i]
@@ -158,7 +179,7 @@ class DepthService:
     """Model + jitted bucketed predict; owns decode/normalize-to-native."""
 
     def __init__(self, model, state, cfg, mesh=None, max_batch: int = 8,
-                 window_ms: float = 5.0):
+                 window_ms: float = 5.0, request_timeout_s: float = 300.0):
         from ..parallel.mesh import shard_batch
         from ..train.trainer import make_predict_step
 
@@ -169,7 +190,11 @@ class DepthService:
         self._mesh = mesh
         self._shard = shard_batch
         self._step = make_predict_step(model, cfg)
-        self.batcher = DynamicBatcher(self._predict_many, max_batch, window_ms)
+        self.batcher = DynamicBatcher(
+            self._predict_many, max_batch, window_ms,
+            item_shape=(*self.native, 3), item_dtype=np.uint8,
+            request_timeout_s=request_timeout_s,
+        )
 
     # -- device path -------------------------------------------------------
     def _predict_many(self, rgb_u8: np.ndarray) -> np.ndarray:
@@ -187,25 +212,34 @@ class DepthService:
 
     # -- host path ---------------------------------------------------------
     def decode(self, body: bytes) -> np.ndarray:
-        """PNG or .npy request bytes -> (H_native, W_native, 3) uint8."""
-        if body.startswith(_PNG_MAGIC):
-            from PIL import Image
+        """PNG or .npy request bytes -> (H_native, W_native, 3) uint8.
 
-            img = Image.open(io.BytesIO(body)).convert("RGB")
-            if (img.height, img.width) != self.native:
-                img = img.resize((self.native[1], self.native[0]), Image.BILINEAR)
-            return np.asarray(img, np.uint8)
-        if body.startswith(_NPY_MAGIC):
-            arr = np.load(io.BytesIO(body))
-            if arr.ndim != 3 or arr.shape[-1] != 3:
-                raise ValueError(f"expected (H, W, 3) array, got {arr.shape}")
-            if arr.shape[:2] != self.native:
+        Every malformed-payload failure surfaces as ValueError (-> HTTP 400):
+        PIL raises OSError/SyntaxError subclasses on corrupt PNGs, numpy its
+        own zoo on bad .npy — a request must never take down its connection."""
+        try:
+            if body.startswith(_PNG_MAGIC):
                 from PIL import Image
 
-                img = Image.fromarray(np.asarray(arr, np.uint8))
-                img = img.resize((self.native[1], self.native[0]), Image.BILINEAR)
+                img = Image.open(io.BytesIO(body)).convert("RGB")
+                if (img.height, img.width) != self.native:
+                    img = img.resize((self.native[1], self.native[0]), Image.BILINEAR)
                 return np.asarray(img, np.uint8)
-            return np.asarray(arr, np.uint8)
+            if body.startswith(_NPY_MAGIC):
+                arr = np.load(io.BytesIO(body))
+                if arr.ndim != 3 or arr.shape[-1] != 3:
+                    raise ValueError(f"expected (H, W, 3) array, got {arr.shape}")
+                if arr.shape[:2] != self.native:
+                    from PIL import Image
+
+                    img = Image.fromarray(np.asarray(arr, np.uint8))
+                    img = img.resize((self.native[1], self.native[0]), Image.BILINEAR)
+                    return np.asarray(img, np.uint8)
+                return np.asarray(arr, np.uint8)
+        except ValueError:
+            raise
+        except Exception as e:
+            raise ValueError(f"could not decode payload: {e}") from e
         raise ValueError("unsupported payload: expected PNG or .npy bytes")
 
     def predict_bytes(self, body: bytes) -> tuple[bytes, int]:
@@ -247,11 +281,22 @@ def make_handler(service: DepthService):
             }
             self._send(200, json.dumps(payload).encode(), "application/json")
 
+        # Generous for any native-size PNG/NPY; bounds a hostile/buggy
+        # Content-Length before the body is buffered on this 1-core host.
+        MAX_BODY = 32 * 1024 * 1024
+
         def do_POST(self):
             if self.path != "/predict":
                 self._send(404, b"not found", "text/plain")
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._send(400, b"bad Content-Length", "text/plain")
+                return
+            if length > self.MAX_BODY:
+                self._send(413, b"payload too large", "text/plain")
+                return
             body = self.rfile.read(length)
             try:
                 out, coalesced = service.predict_bytes(body)
@@ -261,6 +306,9 @@ def make_handler(service: DepthService):
             except TimeoutError as e:
                 self._send(503, str(e).encode(), "text/plain")
                 return
+            except Exception as e:  # device/runtime failure: a 500, never a
+                self._send(500, f"{type(e).__name__}: {e}".encode(), "text/plain")
+                return  # dropped connection
             self._send(200, out, "application/x-npy",
                        {"X-Batch-Size": str(coalesced)})
 
@@ -268,7 +316,8 @@ def make_handler(service: DepthService):
 
 
 def build_service(cfg, max_batch: int = 8, window_ms: float = 5.0,
-                  warmup: bool = True) -> DepthService:
+                  warmup: bool = True, request_timeout_s: float = 300.0,
+                  allow_uninitialized: bool = False) -> DepthService:
     from ..parallel import make_training_mesh
     from .common import bootstrap_model, resolve_paths
 
@@ -276,10 +325,20 @@ def build_service(cfg, max_batch: int = 8, window_ms: float = 5.0,
     ckpt = os.path.join(
         paths["results_dir"], f"best_model_{cfg.experiment.model_name}.pth"
     )
+    if not os.path.exists(ckpt) and not allow_uninitialized:
+        # A long-lived server quietly answering with untrained weights (e.g.
+        # after a typo'd model_name) is far worse than refusing to start —
+        # unlike the offline dump tools, nobody would notice.
+        raise FileNotFoundError(
+            f"checkpoint {ckpt} not found; refusing to serve a randomly "
+            "initialized model (pass allow_uninitialized=True / "
+            "--allow-uninitialized to override)"
+        )
     mesh = make_training_mesh(cfg, max_batch)
     model, state, _ = bootstrap_model(cfg, mesh, checkpoint=ckpt)
     service = DepthService(model, state, cfg, mesh=mesh, max_batch=max_batch,
-                           window_ms=window_ms)
+                           window_ms=window_ms,
+                           request_timeout_s=request_timeout_s)
     if warmup:
         service.warmup()
     return service
@@ -294,10 +353,18 @@ def main():
         p.add_argument("--max-batch", type=int, default=8)
         p.add_argument("--window-ms", type=float, default=5.0)
         p.add_argument("--no-warmup", action="store_true")
+        p.add_argument("--request-timeout", type=float, default=300.0,
+                       help="seconds a request waits for its device step "
+                            "(first uncompiled bucket can take minutes on TPU)")
+        p.add_argument("--allow-uninitialized", action="store_true",
+                       help="serve random weights when no checkpoint exists "
+                            "(dev/smoke only)")
 
     cfg, args = parse_config("Depth inference server", extra=extra)
     service = build_service(cfg, args.max_batch, args.window_ms,
-                            warmup=not args.no_warmup)
+                            warmup=not args.no_warmup,
+                            request_timeout_s=args.request_timeout,
+                            allow_uninitialized=args.allow_uninitialized)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
     print(f"serving {service.model_name} on http://{args.host}:{args.port} "
           f"(buckets {service.batcher.buckets})")

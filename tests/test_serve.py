@@ -71,6 +71,43 @@ def test_dynamic_batcher_coalesces_and_pads():
         b.close()
 
 
+def test_dynamic_batcher_validates_items():
+    """One bad request must fail alone at submit() — never inside a coalesced
+    device batch where it would poison innocent waiters — and a float image
+    must not be silently value-truncated into the uint8 batch."""
+    b = DynamicBatcher(lambda batch: batch[:, 0, 0, 0].astype(np.float32),
+                       max_batch=2, window_ms=1.0, item_shape=(2, 3, 3))
+    try:
+        with pytest.raises(ValueError, match="shape"):
+            b.submit(np.zeros((4, 4, 3), np.uint8))
+        with pytest.raises(ValueError, match="dtype"):
+            b.submit(np.zeros((2, 3, 3), np.float32))
+        assert b.stats["requests"] == 0  # rejected before ever reaching a step
+        depth, _ = b.submit(np.full((2, 3, 3), 7, np.uint8))
+        assert depth == 7.0
+    finally:
+        b.close()
+
+
+def test_dynamic_batcher_survives_allocation_failure():
+    """An exception before the predict call (here: a submit bypassing
+    validation with a non-array) must fail its waiters, not kill the batcher
+    thread — later requests still get served."""
+    b = DynamicBatcher(lambda batch: batch[:, 0, 0, 0].astype(np.float32),
+                       max_batch=2, window_ms=1.0)
+    try:
+        from mde_tpu.tools.serve import _Item
+
+        item = _Item(object())  # no .shape: allocation in _flush raises
+        b._q.put(item)
+        assert item.event.wait(10.0)
+        assert item.error is not None
+        depth, _ = b.submit(np.full((2, 3, 3), 5, np.uint8))
+        assert depth == 5.0  # thread alive
+    finally:
+        b.close()
+
+
 def test_dynamic_batcher_propagates_errors():
     def predict_many(batch):
         raise RuntimeError("device on fire")
@@ -118,7 +155,10 @@ framework:
 """
     )
     cfg = config_lib.load(str(cfg_path))
-    service = build_service(cfg, max_batch=4, window_ms=5.0, warmup=True)
+    # no trained checkpoint in this fixture: the refuse-to-serve guard is
+    # exercised in test_build_service_refuses_missing_checkpoint
+    service = build_service(cfg, max_batch=4, window_ms=5.0, warmup=True,
+                            allow_uninitialized=True)
     from http.server import ThreadingHTTPServer
 
     server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
@@ -168,9 +208,63 @@ def test_serve_http_png_and_npy(serve_env):
     assert status == 400
     assert b"unsupported payload" in body
 
+    # Corrupt PNG (magic ok, truncated stream): a clean 400, not a dropped
+    # connection from an uncaught PIL OSError.
+    status, body, _ = _post(url, b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    assert status == 400
+    assert b"could not decode" in body
+
+    # Hostile Content-Length -> 413 before the body is buffered.
+    import http.client
+
+    host, port = url.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    conn.putrequest("POST", "/predict")
+    conn.putheader("Content-Length", str(1 << 34))
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 413
+    conn.close()
+
+
+def test_build_service_refuses_missing_checkpoint(tmp_path):
+    from mde_tpu.core import config as config_lib
+    from mde_tpu.data import synthetic
+
+    data = tmp_path / "data"
+    synthetic.generate(str(data), n_train=2, n_test=1, size=(32, 48))
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(
+        f"""
+paths:
+  data_dir: {data}
+  results_dir: {tmp_path}/results
+  predictions_dir: {tmp_path}/predictions
+experiment:
+  model_name: no_such_run
+  wandb_disable: True
+training:
+  n_epoch: 1
+  batch_size: 2
+model:
+  model_type: U_Net
+  dinov2_type: null
+framework:
+  input_size: [32, 48]
+  native_size: [32, 48]
+  num_workers: 1
+  mesh: {{data: 1, model: 1}}
+"""
+    )
+    cfg = config_lib.load(str(cfg_path))
+    with pytest.raises(FileNotFoundError, match="refusing to serve"):
+        build_service(cfg, max_batch=1, warmup=False)
+
 
 def test_serve_healthz_and_concurrency(serve_env):
     service, url = serve_env
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as resp:
+        before = json.loads(resp.read())["stats"]["requests"]
     rng = np.random.default_rng(1)
     payloads = []
     for _ in range(4):
@@ -197,4 +291,7 @@ def test_serve_healthz_and_concurrency(serve_env):
     assert health["status"] == "ok"
     assert health["model"] == "serve_unet"
     assert health["buckets"] == [1, 2, 4]
-    assert health["stats"]["requests"] >= 6  # warmup excluded; http calls only
+    # self-contained: only count this test's own 4 requests (warmup and
+    # sibling tests excluded by the before/after delta)
+    assert health["stats"]["requests"] - before == 4
+    assert health["stats"]["device_steps"] >= 1
