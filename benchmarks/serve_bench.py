@@ -1,0 +1,166 @@
+"""Serving-surface benchmark: flagship online inference through
+mde_tpu/tools/serve.py on the attached accelerator.
+
+What it measures (single process, wall-clock at the client, the only honest
+vantage point for serving):
+  - per-request latency (p50 / p95) and aggregate images/sec through the FULL
+    stack — HTTP parse, npy decode, dynamic batcher, bucketed jitted predict
+    (preprocess + forward + 426x560 align-corners resize), npy response —
+    at client concurrency 1 / 4 / 8;
+  - the mean coalesced device-batch size per concurrency (X-Batch-Size), i.e.
+    whether the dynamic batcher actually converts concurrent clients into
+    MXU batch occupancy;
+  - a no-HTTP direct ``DynamicBatcher.submit`` run at concurrency 8 to split
+    the HTTP+serialization overhead from the device path.
+
+Service is built directly from a random-init flagship (weights don't change
+timing; no checkpoint needed); buckets warm up before any timing. Run from
+repo root: ``python benchmarks/serve_bench.py [max_batch] [n_requests]``.
+
+RESULT (TPU v5e via axon, flagship 448x576, max_batch 8, n=48, 2026-08-18
+~23:00 — a poor-weather tunnel session: bench.py in the same evening measured
+10.4 img/s train / 92.9 img/s batched in-process inference, i.e. the tunnel
+was 2-4x below its good-session rates; compare rows within this run only):
+  http  conc=1: 6.46 img/s, p50 168 ms, p95 232 ms, mean batch 1.0
+  http  conc=4: 6.11 img/s, p50 607 ms, p95 1221 ms, mean batch 4.0
+  http  conc=8: 7.57 img/s, p50 992 ms, p95 1373 ms, mean batch 5.1
+  direct conc=8: 7.88 img/s, p50 1071 ms, mean batch 8.0
+Reading: (a) the dynamic batcher does its job — 8 concurrent clients fully
+coalesce (mean 5.1-8.0 per device step) with zero retracing; (b) the
+HTTP+npy stack costs ~4% vs the direct batcher path (7.57 vs 7.88 img/s) —
+the device step dominates; (c) throughput barely scales with batch in THIS
+session (6.5 -> 7.9 img/s) because each serving step is host-synced through
+the tunnel, whose round-trip latency dominated tonight — the same effect
+that put bench.py's bs4 above bs8 the same evening. In-process batched
+inference (bench.py, no per-request sync) remains the ceiling; on local
+(non-tunneled) TPU hardware the per-step sync cost is microseconds, not
+hundreds of ms, and the coalescing win is the dominant term.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _percentile(xs, p):
+    return float(np.percentile(np.asarray(xs), p))
+
+
+def run_clients(n_threads: int, n_requests: int, do_one):
+    """Fire ``n_requests`` total from ``n_threads`` workers; returns
+    (elapsed_s, latencies, batch_sizes)."""
+    lat, bsz = [], []
+    lock = threading.Lock()
+    counter = [0]
+
+    def worker():
+        while True:
+            with lock:
+                if counter[0] >= n_requests:
+                    return
+                counter[0] += 1
+            t0 = time.monotonic()
+            b = do_one()
+            dt = time.monotonic() - t0
+            with lock:
+                lat.append(dt)
+                bsz.append(b)
+
+    threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return time.monotonic() - t0, lat, bsz
+
+
+def main():
+    max_batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_requests = int(sys.argv[2]) if len(sys.argv) > 2 else 48
+
+    import jax
+    import jax.numpy as jnp
+
+    from mde_tpu.core import config as config_lib
+    from mde_tpu.models import build_model
+    from mde_tpu.tools.serve import DepthService, make_handler
+    from mde_tpu.train import create_train_state
+
+    cfg = config_lib.defaults()
+    h, w = (int(s) for s in cfg.framework.input_size)
+    model = build_model(cfg.model)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, h, w, 3), jnp.float32), cfg, None
+    )
+    service = DepthService(model, state, cfg, mesh=None, max_batch=max_batch,
+                           window_ms=5.0)
+    print(f"# platform={jax.default_backend()} buckets={service.batcher.buckets}")
+    t0 = time.monotonic()
+    service.warmup()
+    print(f"# warmup (all buckets compiled): {time.monotonic() - t0:.1f}s")
+
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{server.server_address[1]}/predict"
+
+    nh, nw = service.native
+    buf = io.BytesIO()
+    np.save(buf, np.random.default_rng(0).integers(
+        0, 255, (nh, nw, 3)).astype(np.uint8))
+    payload = buf.getvalue()
+
+    def one_http():
+        req = urllib.request.Request(url, data=payload, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            resp.read()
+            return int(resp.headers.get("X-Batch-Size", 0))
+
+    img_u8 = np.random.default_rng(1).integers(
+        0, 255, (nh, nw, 3)).astype(np.uint8)
+
+    def one_direct():
+        _, b = service.batcher.submit(img_u8)
+        return b
+
+    results = {}
+    for conc in (1, 4, 8):
+        one_http()  # re-warm the connection path
+        el, lat, bsz = run_clients(conc, n_requests, one_http)
+        results[f"http_c{conc}"] = {
+            "images_per_sec": round(n_requests / el, 2),
+            "p50_ms": round(_percentile(lat, 50) * 1e3, 1),
+            "p95_ms": round(_percentile(lat, 95) * 1e3, 1),
+            "mean_coalesced": round(float(np.mean(bsz)), 2),
+        }
+        print(f"http  conc={conc}: {json.dumps(results[f'http_c{conc}'])}")
+
+    el, lat, bsz = run_clients(8, n_requests, one_direct)
+    results["direct_c8"] = {
+        "images_per_sec": round(n_requests / el, 2),
+        "p50_ms": round(_percentile(lat, 50) * 1e3, 1),
+        "p95_ms": round(_percentile(lat, 95) * 1e3, 1),
+        "mean_coalesced": round(float(np.mean(bsz)), 2),
+    }
+    print(f"direct conc=8: {json.dumps(results['direct_c8'])}")
+
+    server.shutdown()
+    server.server_close()
+    service.close()
+    print(json.dumps({"serve_bench": results}))
+
+
+if __name__ == "__main__":
+    main()
