@@ -59,9 +59,13 @@ def cached_flops_per_image(size):
 def conv_anchor_tflops(warmup=3, steps=20, repeats=3):
     """Same-process achievable-TFLOP/s probe: a plain 3x3 bf16 conv at a
     flagship-decoder-like shape. Perf claims are expressed relative to this
-    (pct_of_conv_anchor) so they survive session-to-session tunnel drift."""
+    (pct_of_conv_anchor) so they survive session-to-session tunnel drift.
+    Timing via benchmarks.timing.timeit (the one copy of the axon-safe
+    warmup / median-of-windows / forced-round-trip loop)."""
     import jax
     import jax.numpy as jnp
+
+    from benchmarks.timing import timeit
 
     b, h, w, cin, cout = 16, 112, 144, 128, 128
     x = jnp.ones((b, h, w, cin), jnp.bfloat16)
@@ -71,18 +75,10 @@ def conv_anchor_tflops(warmup=3, steps=20, repeats=3):
             x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
         )
     )
-    for _ in range(warmup):
-        out = f(x, k)
-    jax.device_get(out[0, 0, 0, 0])
-    windows = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = f(x, k)
-        jax.device_get(out[0, 0, 0, 0])
-        windows.append((time.perf_counter() - t0) / steps)
+    sec = timeit("# conv_anchor 3x3 128ch bf16", f, x, k,
+                 warmup=warmup, steps=steps, repeats=repeats)
     flops = 2.0 * b * h * w * cout * cin * 9
-    return flops / float(np.median(windows)) / 1e12
+    return flops / sec / 1e12
 
 
 def measure_loader(batch=16, n_images=48, size=(426, 560)):

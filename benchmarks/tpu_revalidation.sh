@@ -6,9 +6,11 @@
 #   bash benchmarks/tpu_revalidation.sh [logfile]
 #
 # Order matters: the cheap compile check first (fail fast if the tunnel is
-# lying), then the numeric sweep (correctness gates perf — if
-# flagship_merged_entry FAILS the sweep, do NOT flip merge_entry defaults,
-# whatever the A/B says), then the FusionStack A/Bs, then the full bench.
+# lying), then the numeric sweep (correctness gates perf — the merged-entry
+# lowering is the sweep's `flagship_semantics` row, since merge_residual_entry
+# defaults ON, with `flagship_unmerged_entry` as the isolation pair; if the
+# PAIR diverges, do NOT keep merge_entry default-ON, whatever the A/B says),
+# then the FusionStack A/Bs, then the full bench.
 # Each step gets its own timeout; the remote compile helper slows down over a
 # session (CLAUDE.md), so later steps get bigger budgets.
 set -u

@@ -229,13 +229,20 @@ class DepthService:
                 arr = np.load(io.BytesIO(body))
                 if arr.ndim != 3 or arr.shape[-1] != 3:
                     raise ValueError(f"expected (H, W, 3) array, got {arr.shape}")
+                if arr.dtype != np.uint8:
+                    # NO silent coercion: casting a normalized float image (or
+                    # an int16/32 one) to uint8 truncates it to garbage that
+                    # would then be served with a 200.
+                    raise ValueError(
+                        f"expected uint8 image array, got dtype {arr.dtype}"
+                    )
                 if arr.shape[:2] != self.native:
                     from PIL import Image
 
-                    img = Image.fromarray(np.asarray(arr, np.uint8))
+                    img = Image.fromarray(arr)
                     img = img.resize((self.native[1], self.native[0]), Image.BILINEAR)
                     return np.asarray(img, np.uint8)
-                return np.asarray(arr, np.uint8)
+                return arr
         except ValueError:
             raise
         except Exception as e:
@@ -292,6 +299,11 @@ def make_handler(service: DepthService):
             try:
                 length = int(self.headers.get("Content-Length", 0))
             except ValueError:
+                self._send(400, b"bad Content-Length", "text/plain")
+                return
+            if length < 0:
+                # rfile.read(-1) would block until connection EOF, pinning
+                # this handler thread forever on a client that never closes.
                 self._send(400, b"bad Content-Length", "text/plain")
                 return
             if length > self.MAX_BODY:

@@ -325,6 +325,27 @@ def fit(
     """
     logger = logger or ExperimentLogger(disabled=True)
     accum = int(cfg.framework.get("grad_accum_steps", 1))
+    if accum > 1:
+        # Validate NOW what the accumulated step asserts at trace time: a
+        # non-divisible batch (e.g. a drop_last=False remainder) would
+        # otherwise crash mid-epoch after hours of training.
+        bs = getattr(train_loader, "batch_size", None)
+        if bs is not None and bs % accum:
+            raise ValueError(
+                f"training.batch_size {bs} is not divisible by "
+                f"framework.grad_accum_steps {accum}"
+            )
+        n = getattr(train_loader, "num_samples", None)
+        if (bs is not None and n is not None
+                and not getattr(train_loader, "drop_last", False)):
+            rem = n % bs
+            if rem and rem % accum:
+                raise ValueError(
+                    f"grad_accum_steps={accum} with drop_last=False would "
+                    f"yield a final batch of {rem} samples (not divisible by "
+                    f"accum_steps) mid-epoch; set framework.drop_last: true "
+                    "or adjust the batch size"
+                )
     # Build the steps under fit's OWN mesh (falling back to the registry set by
     # create_train_state) so the steps' build-time mesh capture can never
     # disagree with the mesh the batches are sharded over below.

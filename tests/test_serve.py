@@ -208,6 +208,14 @@ def test_serve_http_png_and_npy(serve_env):
     assert status == 400
     assert b"unsupported payload" in body
 
+    # Non-uint8 .npy (the classic normalized-float client mistake): a clean
+    # 400, never a silent truncate-to-garbage 200.
+    buf = io.BytesIO()
+    np.save(buf, rng.uniform(0, 1, (64, 96, 3)).astype(np.float32))
+    status, body, _ = _post(url, buf.getvalue())
+    assert status == 400
+    assert b"uint8" in body
+
     # Corrupt PNG (magic ok, truncated stream): a clean 400, not a dropped
     # connection from an uncaught PIL OSError.
     status, body, _ = _post(url, b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)

@@ -178,3 +178,43 @@ def test_accumulation_under_mesh():
     step = make_train_step(model, cfg, accum_steps=2)
     state, metrics = step(state, jax.random.key(5), data["rgb"], data["depth"])
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fit_validates_accum_against_loader_up_front():
+    """fit() must reject accum configs that would only crash at trace time on
+    a mid-epoch remainder batch (code-review finding: hours of training lost
+    to the last batch of the epoch)."""
+    import pytest
+
+    from mde_tpu.train.trainer import fit
+
+    class StubLoader:
+        batch_size = 5
+        num_samples = 20
+        drop_last = False
+
+    cfg = _cfg((32, 32))
+    cfg.framework.grad_accum_steps = 2
+
+    # batch size not divisible by accum_steps: rejected before any compile
+    with pytest.raises(ValueError, match="not divisible"):
+        fit(None, cfg, None, StubLoader(), None, results_dir="/tmp")
+
+    # divisible batch but a drop_last=False remainder that isn't: rejected
+    class RemainderLoader:
+        batch_size = 4
+        num_samples = 21  # final batch of 1
+        drop_last = False
+
+    with pytest.raises(ValueError, match="drop_last"):
+        fit(None, cfg, None, RemainderLoader(), None, results_dir="/tmp")
+
+    # clean configs pass validation (and then fail later on the None model,
+    # which is fine — we only assert the up-front gate lets them through)
+    class CleanLoader:
+        batch_size = 4
+        num_samples = 20
+        drop_last = False
+
+    with pytest.raises((TypeError, AttributeError)):
+        fit(None, cfg, None, CleanLoader(), None, results_dir="/tmp")
