@@ -316,6 +316,10 @@ def main():
 
     import jax
 
+    from mde_tpu.core import compilation_cache
+
+    compilation_cache.enable()  # warm restarts skip the remote compile helper
+
     platform = jax.devices()[0].platform
     n_dev = len(jax.devices())
     # bs32 consistently fails in the remote tpu_compile_helper (HTTP 500 —

@@ -1,4 +1,4 @@
-from . import config
+from . import compilation_cache, config
 from .config import ConfigNode
 
-__all__ = ["config", "ConfigNode"]
+__all__ = ["compilation_cache", "config", "ConfigNode"]

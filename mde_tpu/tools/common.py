@@ -32,6 +32,9 @@ def parse_config(description: str, extra=None):
     cfg = config_lib.load(args.config)
     if args.data_dir:
         cfg.paths.data_dir = args.data_dir
+    from ..core import compilation_cache
+
+    compilation_cache.enable(cfg)
     return cfg, args
 
 

@@ -91,3 +91,27 @@ def test_merge_and_save(tmp_path):
     config_lib.save(cfg, str(out))
     again = config_lib.load(str(out))
     assert again.training.batch_size == 16
+
+
+def test_compilation_cache_enable(tmp_path, monkeypatch):
+    """framework.compilation_cache wiring: honors the disable flag, the
+    explicit dir, and is idempotent (measured through axon: 3.51s -> 0.03s
+    second-process compile; see core/compilation_cache.py)."""
+    import jax
+
+    from mde_tpu.core import compilation_cache as cc
+
+    monkeypatch.setattr(cc, "_ENABLED_DIR", None)
+    cfg = config_lib.defaults()
+    cfg.framework.compilation_cache = False
+    assert cc.enable(cfg) is None  # disabled: no-op
+
+    cfg.framework.compilation_cache = True
+    cfg.framework.compilation_cache_dir = str(tmp_path / "xla")
+    path = cc.enable(cfg)
+    assert path == str(tmp_path / "xla")
+    assert os.path.isdir(path)
+    assert jax.config.jax_compilation_cache_dir == path
+    assert jax.config.jax_enable_compilation_cache is True
+    # idempotent: a second enable with a different dir keeps the first
+    assert cc.enable(None, dir_path=str(tmp_path / "other")) == path
