@@ -3,6 +3,10 @@ trains MidasNetSemantics on synthetic CIL-format data through the real
 HostLoader and asserts the loss halves within 160 steps."""
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+from mde_tpu.core import compilation_cache
+
+compilation_cache.enable()  # warm restarts skip the remote compile helper
+
 import time, numpy as np, jax, jax.numpy as jnp, os, tempfile
 from mde_tpu.core import config as config_lib
 from mde_tpu.models import build_model

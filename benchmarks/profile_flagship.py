@@ -15,6 +15,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from mde_tpu.core import compilation_cache
+
+compilation_cache.enable()  # warm restarts skip the remote compile helper
+
 
 import jax
 import jax.numpy as jnp

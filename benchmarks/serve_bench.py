@@ -48,6 +48,10 @@ import time
 import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from mde_tpu.core import compilation_cache
+
+compilation_cache.enable()  # warm restarts skip the remote compile helper
+
 
 import numpy as np
 

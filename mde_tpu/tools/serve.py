@@ -378,6 +378,13 @@ def main():
                             request_timeout_s=args.request_timeout,
                             allow_uninitialized=args.allow_uninitialized)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+
+    import signal
+
+    def _term(signum, frame):  # production supervisors stop with SIGTERM
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     print(f"serving {service.model_name} on http://{args.host}:{args.port} "
           f"(buckets {service.batcher.buckets})")
     try:
