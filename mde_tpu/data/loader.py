@@ -33,6 +33,7 @@ class HostLoader:
         prefetch_depth: int = 2,
         cache: bool = False,
         use_native: Optional[bool] = None,
+        process_shard: Optional[tuple[int, int]] = None,
     ):
         self.dataset = dataset
         self.indices = np.asarray(indices if indices is not None else np.arange(len(dataset)))
@@ -59,6 +60,19 @@ class HostLoader:
 
             use_native = (os.cpu_count() or 1) > 1
         self._native_hw = "unprobed" if use_native else None
+        # process_shard=(process_index, process_count): multi-host mode. Every
+        # process computes the SAME global batch order (identical indices/seed/
+        # shuffle state — the constructor arguments must match across
+        # processes) and decodes only its contiguous row block of each batch;
+        # parallel.shard_batch reassembles the blocks into one global array
+        # (parallel/distributed.py::local_row_block documents the layout).
+        # batch_size stays the GLOBAL batch size; yielded batches carry
+        # batch_size/process_count rows.
+        if process_shard is not None:
+            p, n = process_shard
+            if not (0 <= p < n):
+                raise ValueError(f"process_shard {process_shard}: need 0 <= id < count")
+        self.process_shard = process_shard
 
     def __len__(self) -> int:
         n = len(self.indices)
@@ -70,7 +84,9 @@ class HostLoader:
             return len(self) * self.batch_size
         return len(self.indices)
 
-    def _batch_indices(self) -> list[np.ndarray]:
+    def _batch_indices(self) -> list[tuple[np.ndarray, bool]]:
+        """Batches as (indices, replicated) pairs; ``replicated`` marks a
+        process-sharded remainder batch yielded in full on every process."""
         order = self.indices.copy()
         if self.shuffle:
             self._rng.shuffle(order)
@@ -79,7 +95,22 @@ class HostLoader:
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
-        return batches
+        if self.process_shard is not None:
+            # Multi-host: each process takes its contiguous row block. A batch
+            # that does not split evenly (e.g. the 649 % 4 = 1 test remainder)
+            # is yielded IN FULL on every process and tagged for replicated
+            # placement — the same correct-but-not-parallel remainder policy
+            # shard_batch applies single-process.
+            p, n = self.process_shard
+            sliced = []
+            for b in batches:
+                if len(b) % n:
+                    sliced.append((b, True))
+                else:
+                    per = len(b) // n
+                    sliced.append((b[p * per : (p + 1) * per], False))
+            return sliced
+        return [(b, False) for b in batches]
 
     def _native_size(self):
         """Probe + cache the image size for the native batch decoder; None
@@ -153,8 +184,8 @@ class HostLoader:
         if not batches:
             return
         task_q: queue.Queue = queue.Queue()
-        for pos, idxs in enumerate(batches):
-            task_q.put((pos, idxs))
+        for pos, (idxs, replicated) in enumerate(batches):
+            task_q.put((pos, idxs, replicated))
         # Bound host memory: at most prefetch_depth + num_workers batches may be
         # decoded but not yet consumed.
         inflight = threading.Semaphore(self.prefetch_depth + self.num_workers)
@@ -168,11 +199,13 @@ class HostLoader:
             while not stop.is_set():
                 inflight.acquire()
                 try:
-                    pos, idxs = task_q.get_nowait()
+                    pos, idxs, replicated = task_q.get_nowait()
                 except queue.Empty:
                     inflight.release()
                     return
                 batch = self._assemble(idxs)
+                if replicated:
+                    batch["_replicated"] = True
                 with results_cv:
                     results[pos] = batch
                     results_cv.notify_all()

@@ -1,3 +1,4 @@
+from . import distributed
 from .mesh import (
     active_mesh,
     get_active_mesh,
@@ -13,6 +14,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "distributed",
     "active_mesh",
     "get_active_mesh",
     "set_active_mesh",

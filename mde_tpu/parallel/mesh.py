@@ -98,9 +98,18 @@ def shard_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
 
     A batch whose leading dim does not divide over the 'data' axis (e.g. the
     final partial validation batch) is placed replicated instead — correct,
-    just not parallel, and only ever hit on remainder batches."""
+    just not parallel, and only ever hit on remainder batches.
+
+    Multi-process (multi-host) runs route through
+    ``jax.make_array_from_process_local_data``: each process passes only its
+    contiguous row block of the global batch (HostLoader(process_shard=...) —
+    parallel/distributed.py documents the contract) and the result is one
+    global array over the mesh, exactly as if a single controller had
+    device_put the full batch."""
     if mesh is None:
         return batch
+    if jax.process_count() > 1:
+        return _shard_batch_multiprocess(batch, mesh)
     n_data = mesh.shape["data"]
     out = {}
     for k, v in batch.items():
@@ -109,6 +118,41 @@ def shard_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
                 out[k] = jax.device_put(v, data_sharding(mesh, v.ndim))
             else:
                 out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+        else:
+            out[k] = v
+    return out
+
+
+def _shard_batch_multiprocess(batch: dict, mesh: Mesh) -> dict:
+    """Assemble per-process local row blocks into global mesh-sharded arrays.
+
+    Batches tagged ``_replicated`` by HostLoader(process_shard=...) — the
+    non-dividing remainder policy — carry FULL rows on every process and are
+    placed fully replicated, mirroring the single-process remainder fallback
+    above. A sharded batch whose global rows don't divide the 'data' axis is
+    an error (the loader's divisibility contract was violated)."""
+    n_data = mesh.shape["data"]
+    n_proc = jax.process_count()
+    if batch.get("_replicated", False):
+        out = {
+            k: (replicate(v, mesh) if hasattr(v, "ndim") else v)
+            for k, v in batch.items()
+        }
+        return out
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "ndim"):
+            global_rows = v.shape[0] * n_proc
+            if global_rows % n_data:
+                raise ValueError(
+                    f"multi-process batch: global leading dim {global_rows} "
+                    f"(local {v.shape[0]} x {n_proc} processes) does not "
+                    f"divide the data axis ({n_data}); use drop_last or a "
+                    "dividing batch size"
+                )
+            out[k] = jax.make_array_from_process_local_data(
+                data_sharding(mesh, v.ndim), np.asarray(v)
+            )
         else:
             out[k] = v
     return out
@@ -126,10 +170,23 @@ def clamp_data_axis(requested: int, batch_size: int, n_devices: Optional[int] = 
 
 
 def replicate(tree, mesh: Optional[Mesh]):
-    """Fully replicate a pytree of arrays over the mesh."""
+    """Fully replicate a pytree of arrays over the mesh.
+
+    Multi-process: device_put cannot target non-addressable devices, so global
+    replicated arrays are built from per-process callbacks instead — every
+    process must hold the same host values (true for deterministic init and
+    checkpoint loads, the two callers)."""
     if mesh is None:
         return tree
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        def put(x):
+            host = np.asarray(x)
+            return jax.make_array_from_callback(
+                host.shape, sharding, lambda idx: host[idx]
+            )
+
+        return jax.tree_util.tree_map(put, tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 

@@ -29,6 +29,12 @@ def parse_config(description: str, extra=None):
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Multi-host: MDE_DIST_* env vars opt every tool into the jax.distributed
+    # runtime (must run before the first backend touch below;
+    # parallel/distributed.py documents the variables and the data contract).
+    from ..parallel import distributed
+
+    distributed.initialize_from_env()
     cfg = config_lib.load(args.config)
     if args.data_dir:
         cfg.paths.data_dir = args.data_dir
@@ -55,6 +61,14 @@ def resolve_paths(cfg):
 def build_loaders(cfg, paths, train: bool = True):
     fw = cfg.framework
     bs = int(cfg.training.batch_size)
+    # Multi-host: each process decodes only its contiguous row block of every
+    # global batch; non-dividing remainder batches fall back to replicated
+    # placement (loader tags them _replicated).
+    shard = (
+        (jax.process_index(), jax.process_count())
+        if jax.process_count() > 1
+        else None
+    )
     loaders = {}
     if train:
         full = DepthDataset(paths["train_dir"], paths["train_list"], has_gt=True)
@@ -64,13 +78,18 @@ def build_loaders(cfg, paths, train: bool = True):
             full, tr_idx, bs, shuffle=True, drop_last=bool(fw.drop_last),
             num_workers=int(fw.num_workers), seed=fw.seed,
             prefetch_depth=int(fw.prefetch_depth), cache=cache,
+            process_shard=shard,
         )
         loaders["val"] = HostLoader(
-            full, va_idx, bs, shuffle=False, num_workers=int(fw.num_workers), cache=cache
+            full, va_idx, bs, shuffle=False, num_workers=int(fw.num_workers),
+            cache=cache, process_shard=shard,
         )
     if os.path.exists(paths["test_list"]):
         test_ds = DepthDataset(paths["test_dir"], paths["test_list"], has_gt=False)
-        loaders["test"] = HostLoader(test_ds, batch_size=bs, num_workers=int(fw.num_workers))
+        loaders["test"] = HostLoader(
+            test_ds, batch_size=bs, num_workers=int(fw.num_workers),
+            process_shard=shard,
+        )
     return loaders
 
 

@@ -304,6 +304,21 @@ def make_predict_step(model, cfg) -> Callable:
 LOSS_KEYS = ("si_loss", "silog_loss", "grad_loss", "edge_loss")
 
 
+def _global_rows(batch: dict) -> int:
+    """Rows of the GLOBAL batch this host-local batch is part of.
+
+    Single-process: just the leading dim. Multi-process: local blocks carry
+    rows/process_count of the global batch, except remainder batches tagged
+    ``_replicated`` which carry all rows on every process
+    (data/loader.py::HostLoader process_shard contract). Loss metrics are
+    global-batch means either way, so sample-weighted epoch averages must
+    weight by global rows."""
+    n = int(batch["rgb"].shape[0])
+    if jax.process_count() > 1 and not batch.get("_replicated", False):
+        n *= jax.process_count()
+    return n
+
+
 def fit(
     model,
     cfg,
@@ -322,8 +337,19 @@ def fit(
     per-epoch train + val loss, early stopping on combined val loss with
     (patience, min_delta), best checkpoint at results/best_model_{model_name}.pth,
     wandb-schema logging, and best-weights reload at the end.
+
+    Multi-process (multi-host) runs work unchanged: loaders carry
+    ``process_shard`` row blocks, shard_batch assembles global arrays, metric
+    outputs are fully replicated so every process computes identical losses
+    and takes identical early-stopping branches; only process 0 writes the
+    checkpoint and log records, with a cross-process barrier so others cannot
+    race past the save (parallel/distributed.py).
     """
+    from ..parallel import distributed as dist
+
     logger = logger or ExperimentLogger(disabled=True)
+    if not dist.is_primary():
+        logger = ExperimentLogger(disabled=True)
     accum = int(cfg.framework.get("grad_accum_steps", 1))
     if accum > 1:
         # Validate NOW what the accumulated step asserts at trace time: a
@@ -399,7 +425,7 @@ def fit(
             pending.clear()
 
         for it, batch in enumerate(train_loader):
-            bsz = batch["rgb"].shape[0]
+            bsz = _global_rows(batch)
             batch = shard_batch(batch, mesh)
             key = jax.random.fold_in(epoch_key, it)
             state, metrics = train_step(
@@ -426,7 +452,7 @@ def fit(
         val_parts = dict.fromkeys(LOSS_KEYS, 0.0)
         n_val = 0
         for batch in val_loader:
-            bsz = batch["rgb"].shape[0]
+            bsz = _global_rows(batch)
             batch = shard_batch(batch, mesh)
             metrics = jax.device_get(eval_step(state, batch["rgb"], batch["depth"]))
             val_loss += float(metrics["loss"]) * bsz
@@ -452,25 +478,30 @@ def fit(
             best_val = val_loss
             best_epoch = epoch
             counter = 0
-            save_checkpoint(
-                ckpt_path,
-                {
-                    "epoch": epoch + 1,
-                    "params": state.params,
-                    "batch_stats": state.batch_stats,
-                    "opt_state": state.opt_state,
-                    "best_val_loss": best_val,
-                    "best_epoch": best_epoch,
-                    "early_stopping_counter": counter,
-                    "train_loss": train_loss,
-                    "val_loss": val_loss,
-                    "config": {
-                        "model_name": model_name,
-                        "num_epochs": num_epochs,
-                        "early_stopping": {"patience": patience, "min_delta": min_delta},
+            # val_loss is a fully-replicated global reduction, so every
+            # process reaches this branch together; the barrier keeps
+            # non-primaries from racing past a save still in flight.
+            if dist.is_primary():
+                save_checkpoint(
+                    ckpt_path,
+                    {
+                        "epoch": epoch + 1,
+                        "params": state.params,
+                        "batch_stats": state.batch_stats,
+                        "opt_state": state.opt_state,
+                        "best_val_loss": best_val,
+                        "best_epoch": best_epoch,
+                        "early_stopping_counter": counter,
+                        "train_loss": train_loss,
+                        "val_loss": val_loss,
+                        "config": {
+                            "model_name": model_name,
+                            "num_epochs": num_epochs,
+                            "early_stopping": {"patience": patience, "min_delta": min_delta},
+                        },
                     },
-                },
-            )
+                )
+            dist.barrier("best_checkpoint_saved")
             print(
                 f"New best model saved at epoch {epoch + 1} with validation loss: {val_loss:.4f}"
             )
@@ -539,7 +570,7 @@ def evaluate(model, cfg, state, loader, mesh=None, n_samples: Optional[int] = No
     for batch in loader:
         if n_samples is not None and processed >= n_samples:
             break
-        bsz = batch["rgb"].shape[0]
+        bsz = _global_rows(batch)
         batch = shard_batch(batch, mesh)
         m = jax.device_get(metric_step(state, batch["rgb"], batch["depth"]))
         for k, v in m.items():
@@ -569,7 +600,7 @@ def evaluate_full_suite(model, cfg, state, loader, mesh=None) -> dict:
     n = 0
     pixels = None
     for batch in loader:
-        bsz = batch["rgb"].shape[0]
+        bsz = _global_rows(batch)
         batch = shard_batch(batch, mesh)
         out = jax.device_get(step(state, batch["rgb"], batch["depth"]))
         for k, v in out.items():
@@ -596,7 +627,30 @@ def generate_test_predictions(model, cfg, state, loader, predictions_dir, mesh=N
     predict_step = make_predict_step(model, cfg)
     for batch in loader:
         sharded = shard_batch(batch, mesh)
-        preds = np.asarray(jax.device_get(predict_step(state, sharded["rgb"])))
+        out = predict_step(state, sharded["rgb"])
+        if jax.process_count() > 1 and batch.get("_replicated", False):
+            # Remainder batch replicated on every process: all processes hold
+            # identical full outputs — only process 0 writes, to avoid
+            # concurrent same-path writes on a shared filesystem.
+            if jax.process_index() != 0:
+                continue
+            preds = np.asarray(out.addressable_shards[0].data)
+        elif jax.process_count() > 1:
+            # The output is data-sharded across hosts; each process writes its
+            # own contiguous row block (batch["names"] is already the local
+            # block under HostLoader(process_shard=...)).
+            shards = sorted(
+                out.addressable_shards, key=lambda s: s.index[0].start or 0
+            )
+            parts, seen = [], set()
+            for s in shards:  # dedup row blocks replicated over other axes
+                start = s.index[0].start or 0
+                if start not in seen:
+                    seen.add(start)
+                    parts.append(np.asarray(s.data))
+            preds = np.concatenate(parts)
+        else:
+            preds = np.asarray(jax.device_get(out))
         for i, name in enumerate(batch["names"]):
             fname = name.split(" ")[1]
             np.save(os.path.join(predictions_dir, fname), preds[i])
