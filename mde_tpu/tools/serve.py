@@ -179,17 +179,21 @@ class DepthService:
     """Model + jitted bucketed predict; owns decode/normalize-to-native."""
 
     def __init__(self, model, state, cfg, mesh=None, max_batch: int = 8,
-                 window_ms: float = 5.0, request_timeout_s: float = 300.0):
-        from ..parallel.mesh import shard_batch
-        from ..train.trainer import make_predict_step
-
+                 window_ms: float = 5.0, request_timeout_s: float = 300.0,
+                 predict_many=None):
         self.cfg = cfg
         self.native = tuple(int(s) for s in cfg.framework.native_size)
         self.model_name = str(cfg.experiment.model_name)
-        self._state = state
-        self._mesh = mesh
-        self._shard = shard_batch
-        self._step = make_predict_step(model, cfg)
+        self._predict_impl = predict_many
+        if predict_many is None:
+            # live-model path: jitted predict step over the (optional) mesh
+            from ..parallel.mesh import shard_batch
+            from ..train.trainer import make_predict_step
+
+            self._state = state
+            self._mesh = mesh
+            self._shard = shard_batch
+            self._step = make_predict_step(model, cfg)
         self.batcher = DynamicBatcher(
             self._predict_many, max_batch, window_ms,
             item_shape=(*self.native, 3), item_dtype=np.uint8,
@@ -198,6 +202,10 @@ class DepthService:
 
     # -- device path -------------------------------------------------------
     def _predict_many(self, rgb_u8: np.ndarray) -> np.ndarray:
+        if self._predict_impl is not None:
+            # AOT path: a deserialized .mdex artifact (train/export.py) — no
+            # model code, no state; buckets match the batcher's by contract.
+            return np.asarray(self._predict_impl(rgb_u8))
         import jax
 
         sharded = self._shard({"rgb": rgb_u8}, self._mesh)
@@ -356,6 +364,38 @@ def build_service(cfg, max_batch: int = 8, window_ms: float = 5.0,
     return service
 
 
+def build_service_from_exported(cfg, artifact_path: str, window_ms: float = 5.0,
+                                warmup: bool = True,
+                                request_timeout_s: float = 300.0) -> DepthService:
+    """Serve a .mdex AOT artifact (train/export.py): no model construction, no
+    checkpoint load — the weights are baked into the exported programs. The
+    batcher's buckets are exactly the artifact's exported batch sizes."""
+    from ..train.export import load_exported
+
+    predictor = load_exported(artifact_path)
+    meta = predictor.meta
+    if list(meta["native_size"]) != [int(s) for s in cfg.framework.native_size]:
+        raise ValueError(
+            f"artifact native_size {meta['native_size']} != config "
+            f"{list(cfg.framework.native_size)}"
+        )
+    service = DepthService(
+        None, None, cfg, max_batch=max(predictor.batch_sizes),
+        window_ms=window_ms, request_timeout_s=request_timeout_s,
+        predict_many=predictor.predict,
+    )
+    if tuple(service.batcher.buckets) != tuple(predictor.batch_sizes):
+        raise ValueError(
+            f"artifact buckets {predictor.batch_sizes} don't match the "
+            f"batcher's {service.batcher.buckets}; re-export with the "
+            "standard bucket ladder (tools/export_model.py does)"
+        )
+    service.model_name = str(meta["model_name"])
+    if warmup:
+        service.warmup()
+    return service
+
+
 def main():
     from .common import parse_config
 
@@ -365,6 +405,10 @@ def main():
         p.add_argument("--max-batch", type=int, default=8)
         p.add_argument("--window-ms", type=float, default=5.0)
         p.add_argument("--no-warmup", action="store_true")
+        p.add_argument("--exported", default=None, metavar="MODEL.mdex",
+                       help="serve an AOT-exported artifact "
+                            "(python -m mde_tpu.tools.export_model) instead "
+                            "of building the model + loading a checkpoint")
         p.add_argument("--request-timeout", type=float, default=300.0,
                        help="seconds a request waits for its device step "
                             "(first uncompiled bucket can take minutes on TPU)")
@@ -373,10 +417,16 @@ def main():
                             "(dev/smoke only)")
 
     cfg, args = parse_config("Depth inference server", extra=extra)
-    service = build_service(cfg, args.max_batch, args.window_ms,
-                            warmup=not args.no_warmup,
-                            request_timeout_s=args.request_timeout,
-                            allow_uninitialized=args.allow_uninitialized)
+    if args.exported:
+        service = build_service_from_exported(
+            cfg, args.exported, args.window_ms, warmup=not args.no_warmup,
+            request_timeout_s=args.request_timeout,
+        )
+    else:
+        service = build_service(cfg, args.max_batch, args.window_ms,
+                                warmup=not args.no_warmup,
+                                request_timeout_s=args.request_timeout,
+                                allow_uninitialized=args.allow_uninitialized)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
 
     import signal

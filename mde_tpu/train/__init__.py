@@ -12,6 +12,7 @@ from .trainer import (
     generate_test_predictions,
 )
 from .checkpoint import save_checkpoint, load_checkpoint
+from .export import export_predict, save_exported, load_exported, ExportedPredictor
 from .logging import ExperimentLogger
 from .profiling import StepTimer, device_memory_stats, trace
 
@@ -29,6 +30,10 @@ __all__ = [
     "generate_test_predictions",
     "save_checkpoint",
     "load_checkpoint",
+    "export_predict",
+    "save_exported",
+    "load_exported",
+    "ExportedPredictor",
     "ExperimentLogger",
     "StepTimer",
     "device_memory_stats",

@@ -1,0 +1,158 @@
+"""AOT export artifacts (train/export.py): serialized StableHLO predict
+programs with baked weights, round-tripped through the .mdex container and
+through the serving surface (tools/serve.py --exported)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mde_tpu.core import config as config_lib
+from mde_tpu.models import SimpleUNet
+from mde_tpu.train import (
+    create_train_state,
+    export_predict,
+    load_exported,
+    make_predict_step,
+    save_exported,
+)
+
+SIZE = (32, 48)
+NATIVE = (30, 40)
+
+
+def _cfg():
+    cfg = config_lib.defaults()
+    cfg.framework.input_size = list(SIZE)
+    cfg.framework.native_size = list(NATIVE)
+    cfg.model.model_type = "U_Net"
+    cfg.model.dinov2_type = None
+    cfg.experiment.model_name = "export_unet"
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def exported_env(tmp_path_factory):
+    cfg = _cfg()
+    model = SimpleUNet()
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, *SIZE, 3), jnp.float32), cfg
+    )
+    path = str(tmp_path_factory.mktemp("export") / "model.mdex")
+    bundle = export_predict(model, cfg, state, batch_sizes=(1, 2, 4))
+    save_exported(path, bundle)
+    return cfg, model, state, path
+
+
+def test_export_roundtrip_matches_live_predict(exported_env, rng):
+    cfg, model, state, path = exported_env
+    predictor = load_exported(path)
+    assert predictor.batch_sizes == [1, 2, 4]
+    assert predictor.meta["model_name"] == "export_unet"
+    assert predictor.meta["native_size"] == list(NATIVE)
+    step = make_predict_step(model, cfg)
+    for b in (1, 2, 4):
+        rgb = rng.integers(0, 255, (b, *NATIVE, 3)).astype(np.uint8)
+        live = np.asarray(jax.device_get(step(state, jnp.asarray(rgb))))
+        aot = predictor.predict(rgb)
+        assert aot.shape == (b, *NATIVE)
+        np.testing.assert_allclose(aot, live, rtol=1e-6, atol=1e-6)
+
+
+def test_export_unknown_bucket_and_bad_format(exported_env, tmp_path, rng):
+    cfg, model, state, path = exported_env
+    predictor = load_exported(path)
+    with pytest.raises(ValueError, match="no exported bucket"):
+        predictor.predict(rng.integers(0, 255, (3, *NATIVE, 3)).astype(np.uint8))
+    # corrupt format version is refused
+    import json
+    import zipfile
+
+    bad = str(tmp_path / "bad.mdex")
+    with zipfile.ZipFile(path) as src, zipfile.ZipFile(bad, "w") as dst:
+        meta = json.loads(src.read("meta.json"))
+        meta["format_version"] = 999
+        dst.writestr("meta.json", json.dumps(meta))
+        for n in src.namelist():
+            if n != "meta.json":
+                dst.writestr(n, src.read(n))
+    with pytest.raises(ValueError, match="unsupported artifact format"):
+        load_exported(bad)
+
+
+def test_serve_from_exported_artifact(exported_env, rng):
+    from mde_tpu.tools.serve import build_service_from_exported
+
+    cfg, model, state, path = exported_env
+    service = build_service_from_exported(cfg, path, warmup=True)
+    try:
+        assert tuple(service.batcher.buckets) == (1, 2, 4)
+        img = rng.integers(0, 255, (*NATIVE, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        out_bytes, coalesced = service.predict_bytes(buf.getvalue())
+        depth = np.load(io.BytesIO(out_bytes))
+        assert depth.shape == NATIVE and depth.dtype == np.float32
+        # matches the live-model service path bit-for-bit (same program)
+        step = make_predict_step(model, cfg)
+        live = np.asarray(jax.device_get(step(state, jnp.asarray(img[None]))))[0]
+        np.testing.assert_allclose(depth, live, rtol=1e-6, atol=1e-6)
+    finally:
+        service.close()
+
+
+def test_serve_from_exported_rejects_geometry_mismatch(exported_env):
+    from mde_tpu.tools.serve import build_service_from_exported
+
+    cfg, _, _, path = exported_env
+    other = _cfg()
+    other.framework.native_size = [64, 96]
+    with pytest.raises(ValueError, match="native_size"):
+        build_service_from_exported(other, path, warmup=False)
+
+
+def test_export_cli_tool(tmp_path, rng, monkeypatch, capsys):
+    """python -m mde_tpu.tools.export_model end to end (random weights path)."""
+    from mde_tpu.data import synthetic
+    from mde_tpu.tools import export_model
+
+    data = tmp_path / "data"
+    synthetic.generate(str(data), n_train=2, n_test=1, size=NATIVE)
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(
+        f"""
+paths:
+  data_dir: {data}
+  results_dir: {tmp_path}/results
+  predictions_dir: {tmp_path}/predictions
+experiment:
+  model_name: export_unet
+  wandb_disable: True
+training:
+  n_epoch: 1
+  batch_size: 2
+model:
+  model_type: U_Net
+  dinov2_type: null
+framework:
+  input_size: [{SIZE[0]}, {SIZE[1]}]
+  native_size: [{NATIVE[0]}, {NATIVE[1]}]
+  num_workers: 1
+"""
+    )
+    out = str(tmp_path / "model.mdex")
+    monkeypatch.setattr(
+        "sys.argv",
+        ["export_model", "--config", str(cfg_path), "--out", out,
+         "--max-batch", "2", "--allow-uninitialized"],
+    )
+    export_model.main()
+    assert os.path.exists(out)
+    predictor = load_exported(out)
+    assert predictor.batch_sizes == [1, 2]
+    pred = predictor.predict(rng.integers(0, 255, (2, *NATIVE, 3)).astype(np.uint8))
+    assert pred.shape == (2, *NATIVE) and np.isfinite(pred).all()
