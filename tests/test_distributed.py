@@ -152,6 +152,71 @@ def test_two_process_fit_end_to_end(tmp_path):
     ]
 
 
+def test_two_process_main_tool(tmp_path):
+    """The full training CLI under MDE_DIST_* env: both processes run
+    python -m mde_tpu.tools.main; process 0 writes the checkpoint and the
+    union of per-process prediction files covers the whole test set."""
+    from mde_tpu.data.synthetic import generate
+
+    data = tmp_path / "data"
+    generate(str(data), n_train=16, n_test=5, size=SIZE)
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(
+        f"""
+paths:
+  data_dir: {data}
+  results_dir: {tmp_path}/results
+  predictions_dir: {tmp_path}/predictions
+experiment:
+  model_name: dist_cli_unet
+  wandb_disable: True
+training:
+  n_epoch: 1
+  batch_size: 4
+model:
+  model_type: U_Net
+  dinov2_type: null
+framework:
+  input_size: [{SIZE[0]}, {SIZE[1]}]
+  native_size: [{SIZE[0]}, {SIZE[1]}]
+  num_workers: 1
+  mesh: {{data: -1, model: 1}}
+"""
+    )
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = {
+            k: v for k, v in os.environ.items()
+            if k not in ("PYTHONPATH", "JAX_PLATFORMS")
+        }
+        env.update(
+            JAX_PLATFORM_NAME="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            MDE_DIST_COORDINATOR=f"localhost:{port}",
+            MDE_DIST_NUM_PROCESSES="2",
+            MDE_DIST_PROCESS_ID=str(pid),
+            MDE_DIST_CPU="1",
+        )
+        log = open(os.path.join(str(tmp_path), f"cli_p{pid}.log"), "w")
+        procs.append(
+            (subprocess.Popen(
+                [sys.executable, "-m", "mde_tpu.tools.main",
+                 "--config", str(cfg_path), "--data-dir", str(data)],
+                env=env, cwd=REPO, stdout=log, stderr=log,
+            ), log)
+        )
+    for pid, (p, log) in enumerate(procs):
+        rc = p.wait(timeout=900)
+        log.close()
+        if rc != 0:
+            with open(os.path.join(str(tmp_path), f"cli_p{pid}.log")) as f:
+                pytest.fail(f"tools.main process {pid} rc={rc}:\n{f.read()[-4000:]}")
+    assert os.path.exists(tmp_path / "results" / "best_model_dist_cli_unet.pth")
+    preds = sorted(os.listdir(tmp_path / "predictions"))
+    assert preds == [f"test_{i:06d}_depth.npy" for i in range(5)]
+
+
 def test_local_row_block_contract():
     from mde_tpu.parallel.distributed import local_row_block
 
