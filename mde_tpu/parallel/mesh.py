@@ -228,16 +228,30 @@ def tp_param_spec(path: tuple, shape: tuple, n_model: int):
 
 
 def shard_params_tp(params, mesh: Mesh):
-    """device_put a params pytree with Megatron-style 'model'-axis shardings.
+    """Place a params pytree with Megatron-style 'model'-axis shardings.
 
     Returns the sharded pytree; optimizer moments created from it afterwards
-    (optax ``init`` -> ``zeros_like``) inherit the shardings automatically."""
+    (optax ``init`` -> ``zeros_like``) inherit the shardings automatically.
+
+    Multi-process: device_put cannot target non-addressable devices, so each
+    process materializes its own shards from the full host value via
+    ``make_array_from_callback`` — valid because params come from a
+    deterministic init or checkpoint load and are identical on every
+    process."""
     from flax import traverse_util
 
     n_model = mesh.shape["model"]
+    multiprocess = jax.process_count() > 1
     flat = traverse_util.flatten_dict(dict(params))
     out = {}
     for path, leaf in flat.items():
         spec = tp_param_spec(path, np.shape(leaf), n_model)
-        out[path] = jax.device_put(leaf, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiprocess:
+            host = np.asarray(leaf)
+            out[path] = jax.make_array_from_callback(
+                host.shape, sharding, lambda idx, host=host: host[idx]
+            )
+        else:
+            out[path] = jax.device_put(leaf, sharding)
     return traverse_util.unflatten_dict(out)

@@ -78,6 +78,51 @@ def run_steps(args):
             "n_devices": jax.device_count(), "process": jax.process_index()}
 
 
+def run_tp(args):
+    """One flagship train step on a (data=2, model=2) mesh spanning the two
+    processes: Megatron TP shardings built cross-process (shard_params_tp's
+    make_array_from_callback path) + GSPMD collectives over Gloo."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from mde_tpu.core import config as config_lib
+    from mde_tpu.models import MidasNetSemantics
+    from mde_tpu.parallel import make_mesh, shard_batch
+    from mde_tpu.parallel.distributed import local_row_block
+    from mde_tpu.train import create_train_state, make_train_step
+
+    h, w = 64, 96
+    cfg = config_lib.defaults()
+    cfg.framework.input_size = [h, w]
+    cfg.framework.native_size = [h, w]
+    model = MidasNetSemantics(dinov2_image_size=(28, 42))
+    mesh = make_mesh(data=2, model=2)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, h, w, 3), jnp.float32), cfg, mesh
+    )
+    qkv = state.params["dinov2"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model"), qkv.sharding
+    proj = state.params["dinov2"]["blocks_0"]["attn"]["proj"]["kernel"]
+    assert proj.sharding.spec == P("model", None), proj.sharding
+
+    rng = np.random.default_rng(0)
+    global_batch = {
+        "rgb": rng.integers(0, 255, (4, h, w, 3)).astype(np.uint8),
+        "depth": rng.uniform(0.5, 5.0, (4, h, w)).astype(np.float32),
+    }
+    lo, hi = local_row_block(4)
+    local = {k: v[lo:hi] for k, v in global_batch.items()}
+    step = make_train_step(model, cfg)
+    data = shard_batch(local, mesh)
+    state, metrics = step(state, jax.random.key(1), data["rgb"], data["depth"])
+    return {
+        "loss": float(jax.device_get(metrics["loss"])),
+        "process": jax.process_index(),
+    }
+
+
 def run_fit(args):
     import jax
     import jax.numpy as jnp
@@ -141,7 +186,7 @@ def main():
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--mode", default="steps", choices=["steps", "fit"])
+    ap.add_argument("--mode", default="steps", choices=["steps", "fit", "tp"])
     ap.add_argument("--data-dir", default=None)
     args = ap.parse_args()
 
@@ -157,7 +202,8 @@ def main():
 
     assert jax.process_count() == args.num_processes
 
-    result = run_steps(args) if args.mode == "steps" else run_fit(args)
+    runners = {"steps": run_steps, "fit": run_fit, "tp": run_tp}
+    result = runners[args.mode](args)
     with open(f"{args.out}.p{args.process_id}.json", "w") as f:
         json.dump(result, f)
 

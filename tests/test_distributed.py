@@ -152,6 +152,38 @@ def test_two_process_fit_end_to_end(tmp_path):
     ]
 
 
+def test_two_process_tp_step_matches_single_process(tmp_path, rng):
+    """dp×tp spanning processes: a (data=2, model=2) flagship step across 2
+    processes (TP shardings via make_array_from_callback, GSPMD collectives
+    over Gloo) matches the identical single-process (2,2) mesh step."""
+    import jax.numpy as jnp
+
+    from mde_tpu.models import MidasNetSemantics
+
+    results = _launch("tp", tmp_path)
+    np.testing.assert_allclose(results[0]["loss"], results[1]["loss"], rtol=0)
+
+    h, w = 64, 96
+    cfg = config_lib.defaults()
+    cfg.framework.input_size = [h, w]
+    cfg.framework.native_size = [h, w]
+    model = MidasNetSemantics(dinov2_image_size=(28, 42))
+    mesh = make_mesh(data=2, model=2)  # first 4 of this process's 8 devices
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, h, w, 3), jnp.float32), cfg, mesh
+    )
+    batch_rng = np.random.default_rng(0)
+    batch = {
+        "rgb": batch_rng.integers(0, 255, (4, h, w, 3)).astype(np.uint8),
+        "depth": batch_rng.uniform(0.5, 5.0, (4, h, w)).astype(np.float32),
+    }
+    step = make_train_step(model, cfg)
+    data = shard_batch(batch, mesh)
+    _, metrics = step(state, jax.random.key(1), data["rgb"], data["depth"])
+    ref_loss = float(jax.device_get(metrics["loss"]))
+    np.testing.assert_allclose(results[0]["loss"], ref_loss, rtol=1e-4)
+
+
 def test_two_process_main_tool(tmp_path):
     """The full training CLI under MDE_DIST_* env: both processes run
     python -m mde_tpu.tools.main; process 0 writes the checkpoint and the
