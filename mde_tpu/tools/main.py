@@ -59,10 +59,25 @@ def main():
         f"Validation size: {loaders['val'].num_samples}"
     )
 
-    model, state, _ = bootstrap_model(cfg, mesh)
+    model, state, payload = bootstrap_model(cfg, mesh)
     start_epoch = (
         int(cfg.training.resume_training.resume_from_epoch) if resume else 0
     )
+    # Resume the early-stopping state alongside the weights (the reference
+    # saves these fields but never reads them back — src/main.py:98 — so its
+    # first post-resume epoch always clobbers the best checkpoint; SURVEY
+    # §5.3 marks that "fix, don't replicate").
+    es_seed = {}
+    if resume and payload is not None:
+        es_seed = {
+            "best_val": float(payload.get("best_val_loss", float("inf"))),
+            "best_epoch": payload.get("best_epoch"),
+            "es_counter": int(payload.get("early_stopping_counter", 0)),
+        }
+        print(
+            f"Resumed early-stopping state: best_val={es_seed['best_val']:.4f} "
+            f"(epoch {es_seed['best_epoch']}), counter={es_seed['es_counter']}"
+        )
 
     print("Starting training...")
     state, _ = fit(
@@ -76,6 +91,7 @@ def main():
         mesh=mesh,
         start_epoch=start_epoch,
         seed=int(cfg.framework.seed),
+        **es_seed,
     )
 
     if bool(cfg.opt.get("evaluate_best_model", False)):

@@ -331,6 +331,9 @@ def fit(
     start_epoch: int = 0,
     seed: int = 0,
     log_every: int = 50,
+    best_val: float = float("inf"),
+    best_epoch: Optional[int] = None,
+    es_counter: int = 0,
 ) -> tuple[TrainState, dict]:
     """Epoch driver with the reference's semantics (src/main.py:91-252):
 
@@ -344,6 +347,13 @@ def fit(
     and takes identical early-stopping branches; only process 0 writes the
     checkpoint and log records, with a cross-process barrier so others cannot
     race past the save (parallel/distributed.py).
+
+    ``best_val`` / ``best_epoch`` / ``es_counter`` seed the early-stopping
+    state on resume. The reference saves these in the checkpoint but never
+    reads them back (src/main.py:98 restarts best at inf), so a resumed run's
+    first epoch ALWAYS overwrites the best checkpoint even when worse — a
+    SURVEY §5.3 "fix, don't replicate" defect; tools/main.py plumbs them from
+    the resume payload.
     """
     from ..parallel import distributed as dist
 
@@ -384,10 +394,15 @@ def fit(
     min_delta = float(cfg.training.early_stopping.min_delta)
     ckpt_path = os.path.join(results_dir, f"best_model_{model_name}.pth")
 
-    best_val = float("inf")
-    best_epoch = start_epoch
-    counter = 0
-    early_stop = False
+    best_val = float(best_val)
+    best_epoch = start_epoch if best_epoch is None else int(best_epoch)
+    counter = int(es_counter)
+    early_stop = counter >= patience
+    if early_stop:
+        print(
+            f"Early-stopping counter restored at {counter}/{patience}; "
+            "training already converged — skipping epochs."
+        )
     history = {"train_loss": [], "val_loss": []}
     root_key = jax.random.key(seed)
 

@@ -156,6 +156,41 @@ def test_main_tool_evaluate_best_model(pipeline_env, monkeypatch):
     ]
 
 
+def test_main_tool_resume_preserves_best_checkpoint(pipeline_env, monkeypatch):
+    """CLI resume plumbs the saved early-stopping state into fit(): a resumed
+    run whose epochs cannot improve (min_delta huge) must leave
+    best_model_*.pth untouched (the reference overwrites it —
+    src/main.py:98; SURVEY §5.3 'fix, don't replicate')."""
+    import hashlib
+
+    root, cfg_path = pipeline_env
+    from mde_tpu.tools import main as main_tool
+
+    monkeypatch.chdir(root)
+    ckpt = root / "results" / "best_model_e2e_unet.pth"
+    if not ckpt.exists():  # module-scoped fixture: earlier test may have trained
+        _run_tool(monkeypatch, main_tool.main, ["main.py", "--config", str(cfg_path)])
+    before = hashlib.sha256(ckpt.read_bytes()).hexdigest()
+
+    cfg_resume = root / "config_resume.yaml"
+    resume_block = """\
+  n_epoch: 3
+  resume_training:
+    resume: True
+    resume_from_epoch: 1
+  early_stopping:
+    patience: 10
+    min_delta: 1.0e9
+"""
+    cfg_resume.write_text(
+        cfg_path.read_text().replace("  n_epoch: 1\n", resume_block)
+    )
+    assert "resume_training" in cfg_resume.read_text()
+    _run_tool(monkeypatch, main_tool.main, ["main.py", "--config", str(cfg_resume)])
+    after = hashlib.sha256(ckpt.read_bytes()).hexdigest()
+    assert after == before, "resume overwrote the best checkpoint with a worse epoch"
+
+
 def test_visualize_sample_grid(tmp_path, rng):
     """The 2x2-grid figure of src/visualize.py:41-101."""
     from mde_tpu.tools.visualize import visualize_sample
