@@ -115,6 +115,43 @@ def measure_loader(batch=16, n_images=48, size=(426, 560)):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def measure_loader_process_sharded(n_proc=2, batch=16, n_images=48, size=(426, 560)):
+    """Per-host loader throughput when each host decodes only its 1/n_proc row
+    block of every global batch (HostLoader(process_shard=...)) — the
+    multi-host answer to a starved mesh. Measured in LOCAL rows/sec for shard
+    0 of n_proc (the other shards are symmetric); at v5e-8 scale per-host
+    demand is total_demand / n_hosts, so the margin scales ~linearly in host
+    count. Returns (cold, cached) local rows/sec."""
+    import shutil
+    import tempfile
+
+    from mde_tpu.data.dataset import DepthDataset
+    from mde_tpu.data.loader import HostLoader
+    from mde_tpu.data.synthetic import generate
+
+    root = tempfile.mkdtemp(prefix="bench_loader_ps_")
+    try:
+        train_list, _ = generate(root, n_train=n_images, n_test=1, size=size)
+        ds = DepthDataset(os.path.join(root, "train"), train_list)
+        loader = HostLoader(
+            ds, batch_size=batch, num_workers=4, cache=True,
+            process_shard=(0, n_proc),
+        )
+
+        def one_epoch():
+            t0 = time.perf_counter()
+            n = 0
+            for b in loader:
+                n += b["rgb"].shape[0]
+            return n / (time.perf_counter() - t0)
+
+        cold = one_epoch()
+        cached = max(one_epoch() for _ in range(3))
+        return cold, cached
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def measure_many(batches, size=(448, 576), warmup=3, steps=10, repeats=3):
     """Per-batch train throughput with INTERLEAVED timed windows.
 
@@ -327,8 +364,13 @@ def main():
     # runs as 2 x bs16 gradient accumulation below instead.
     candidates = [16, 8, 4] if platform != "cpu" else [4]
     results, flops_per_image = measure_many(candidates)
+    # Record WHICH FLOPs source fed achieved_tflops (ADVICE r3): the live
+    # backend's cost analysis when it works, else the number precomputed from
+    # the CPU lowering of the same program (textbook count, platform-free).
+    flops_source = "xla_cost_analysis" if flops_per_image else None
     if flops_per_image is None:
         flops_per_image = cached_flops_per_image((448, 576))
+        flops_source = "precomputed_cpu_lowering" if flops_per_image else None
 
     ok = {b: r for b, r in results.items() if r}
     if not ok:
@@ -374,6 +416,32 @@ def main():
     except Exception as e:
         print(f"# loader bench failed: {type(e).__name__}", flush=True)
 
+    # 8-chip feed projection (VERDICT r3 weak #3): demand at a v5e-8 mesh is
+    # ~8x the single-chip step rate (dp scaling, conv-bound model); the margin
+    # fields say whether ONE host like this one can feed it, and the
+    # process-sharded numbers say what each host must sustain when the loader
+    # is sharded across hosts (each decoding 1/N rows).
+    feed_projection = None
+    ps_cold = ps_cached = None
+    try:
+        ps_cold, ps_cached = measure_loader_process_sharded(n_proc=2, batch=min(best_b, 16))
+    except Exception as e:
+        print(f"# process-sharded loader bench failed: {type(e).__name__}", flush=True)
+    if loader_cached:
+        import math
+
+        demand8 = best_ips * 8
+        feed_projection = {
+            "demand_images_per_sec_8_chips": round(demand8, 1),
+            "single_host_margin_cold": round(loader_cold / demand8, 3),
+            "single_host_margin_cached": round(loader_cached / demand8, 3),
+            "hosts_needed_cold": math.ceil(demand8 / loader_cold),
+            "hosts_needed_cached": math.ceil(demand8 / loader_cached),
+            "per_host_local_rows_per_sec_sharded_2proc": (
+                round(ps_cached, 1) if ps_cached else None
+            ),
+        }
+
     baseline_path = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline_cpu.json")
     vs = None
     baseline_ips = None
@@ -395,12 +463,14 @@ def main():
         "per_batch": {str(b): (round(r[0], 3) if r else None) for b, r in results.items()},
         "accum_bs32_images_per_sec": round(accum_ips, 3) if accum_ips else None,
         "flops_per_image": round(flops_per_image) if flops_per_image else None,
+        "flops_source": flops_source,
         "achieved_tflops": round(achieved_tflops, 3) if achieved_tflops else None,
         "conv_anchor_tflops": round(anchor_tflops, 2) if anchor_tflops else None,
         "pct_of_conv_anchor": round(pct_of_conv_anchor, 1) if pct_of_conv_anchor else None,
         "loader_images_per_sec_cold": round(loader_cold, 2) if loader_cold else None,
         "loader_images_per_sec_cached": round(loader_cached, 2) if loader_cached else None,
         "loader_keeps_up": (loader_cached >= best_ips) if loader_cached else None,
+        "loader_margin_at_n_devices": feed_projection,
         "infer_images_per_sec": round(infer_ips, 3) if infer_ips else None,
         "baseline_cpu_images_per_sec": baseline_ips,
     }

@@ -120,8 +120,11 @@ def main():
         rgb_bf,
     )
 
-    # ---- 3. submodules, forward only, bf16 params ----
-    def bench_module(name, module, *inputs, method=None):
+    # ---- 3. submodules, forward AND fwd+bwd, bf16 params ----
+    # The bwd row differentiates w.r.t. params AND float inputs (the real
+    # train step needs input cotangents through every submodule except the
+    # first), so per-component fwd+bwd sums are comparable to the full step.
+    def bench_module(name, module, *inputs, method=None, bwd=True):
         vars_ = module.init(jax.random.key(0), *inputs)
         vars_bf = _cast_floating(vars_, jnp.bfloat16)
 
@@ -130,6 +133,19 @@ def main():
             return module.apply(v, *xs)
 
         timeit(name, fwd, vars_bf, *inputs)
+        if not bwd:
+            return
+
+        @jax.jit
+        def fwdbwd(v, *xs):
+            def f(v, *xs):
+                out = module.apply(v, *xs)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return jnp.sum(leaf.astype(jnp.float32))
+
+            return jax.grad(f, argnums=tuple(range(1 + len(xs))))(v, *xs)
+
+        timeit(name + " +bwd", fwdbwd, vars_bf, *inputs)
 
     midas = MidasNetSmall(head_32=True)
     bench_module("MidasNetSmall fwd (enc+dec) bf16", midas, rgb_bf)
@@ -156,6 +172,19 @@ def main():
 
     timeit("Dinov2Head fwd bf16", head_fwd, vars_head, tokens)
 
+    # bwd wrt params only: the head's input is the FROZEN ViT's output, so no
+    # cotangent flows past it in the real step (ViT itself has no bwd at all —
+    # frozen params, and the image input needs no gradient).
+    @jax.jit
+    def head_fwdbwd(v, t):
+        def f(v):
+            out = head.apply(v, t, 16, 20)
+            return jnp.sum(out.astype(jnp.float32))
+
+        return jax.grad(f)(v)
+
+    timeit("Dinov2Head +bwd (params)", head_fwdbwd, vars_head, tokens)
+
     mfeat = jnp.asarray(rng.standard_normal((batch, *size, 32)), jnp.bfloat16)
     dfeat = jnp.asarray(rng.standard_normal((batch, *size, 32)), jnp.bfloat16)
     ca = CrossAttention(32)
@@ -167,6 +196,15 @@ def main():
         return ca.apply(v, a, b)
 
     timeit("CrossAttention fwd @448x576 bf16", ca_fwd, vars_ca, mfeat, dfeat)
+
+    @jax.jit
+    def ca_fwdbwd(v, a, b):
+        def f(v, a, b):
+            return jnp.sum(ca.apply(v, a, b).astype(jnp.float32))
+
+        return jax.grad(f, argnums=(0, 1, 2))(v, a, b)
+
+    timeit("CrossAttention +bwd", ca_fwdbwd, vars_ca, mfeat, dfeat)
 
     # full-res fusion stack (fusion_blocks_0 .. depth_head_1)
     import flax.linen as nn

@@ -160,6 +160,34 @@ def main():
     }
     print(f"direct conc=8: {json.dumps(results['direct_c8'])}")
 
+    # Double-buffering A/B (VERDICT r3 item 8): pipelined dispatch (admit +
+    # dispatch batch k+1 while batch k is in flight) vs strict serial steps,
+    # direct batcher path at concurrency 8. Interleaved windows so both modes
+    # see the same tunnel drift; medians are the comparable numbers.
+    service_serial = DepthService(model, state, cfg, mesh=None,
+                                  max_batch=max_batch, window_ms=5.0,
+                                  pipeline=False)
+    service_serial.warmup()
+    ab = {"pipelined": [], "serial": []}
+    for _ in range(3):
+        for name, svc in (("pipelined", service), ("serial", service_serial)):
+            def one(svc=svc):
+                _, b = svc.batcher.submit(img_u8)
+                return b
+
+            el, _, _ = run_clients(8, n_requests, one)
+            ab[name].append(n_requests / el)
+    results["pipeline_ab_direct_c8"] = {
+        "pipelined_images_per_sec": round(float(np.median(ab["pipelined"])), 2),
+        "serial_images_per_sec": round(float(np.median(ab["serial"])), 2),
+        "speedup": round(
+            float(np.median(ab["pipelined"])) / float(np.median(ab["serial"])), 3
+        ),
+        "windows": {k: [round(v, 2) for v in vs] for k, vs in ab.items()},
+    }
+    print(f"pipeline A/B: {json.dumps(results['pipeline_ab_direct_c8'])}")
+    service_serial.close()
+
     server.shutdown()
     server.server_close()
     service.close()

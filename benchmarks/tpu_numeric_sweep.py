@@ -49,6 +49,20 @@ def cases():
     return [
         ("simple_unet", lambda: SimpleUNet(), (1, 64, 96, 3)),
         ("midas_small", lambda: MidasNetSmall(features=64, **nn), (1, 64, 96, 3)),
+        # LocalBins + DGR (VERDICT r3 Missing #2): the attractor chain,
+        # per-level align-corners resizes and cumsum/log-binomial
+        # (models/localbins.py; reference localbins_net.py:69-74,
+        # localbins_layers.py:171-361) are exactly the slice/reshape/broadcast
+        # class the CLAUDE.md axon-miscompile gate requires a CPU-vs-TPU
+        # cross-check for. non_negative stays False so the rel-depth input to
+        # the bins head is non-degenerate at random init.
+        ("midas_small_lb_dgr",
+         lambda: MidasNetSmall(features=64, use_lb=True, use_dgr=True, **nn),
+         (1, 64, 96, 3)),
+        # Flagship with the LocalBins tail (midas_semantics.py:261-265 path).
+        ("flagship_lb",
+         lambda: MidasNetSemantics(dinov2_image_size=(28, 42), use_lb=True),
+         (1, 64, 96, 3)),
         # Default flagship (merge_residual_entry=True since 2026-08-18 — the
         # merged variant passed this sweep at rel-L2 1.04e-3 and won the
         # full-tail A/B 1.07x fwd/bwd, ab_fusion_stack.py RESULT block).

@@ -70,6 +70,15 @@ class DynamicBatcher:
     ``predict_many`` receives a uint8 (N, H, W, 3) stack with N equal to one
     of ``buckets`` and returns (N, h', w') float32; only the first
     ``n_valid`` rows are delivered (the tail is zero padding).
+
+    Double-buffering: when ``predict_dispatch``/``predict_fetch`` are given
+    (an async pair — dispatch enqueues the device computation and returns a
+    handle, fetch blocks on the handle's results), the batcher admits and
+    dispatches the NEXT batch while the previous one is still in flight on
+    the device, then delivers the previous results. JAX dispatch is async, so
+    the device never sits idle between coalesced steps under load. With only
+    the synchronous ``predict_many``, dispatch degrades to compute-and-hold
+    (same semantics, no overlap).
     """
 
     def __init__(
@@ -80,8 +89,17 @@ class DynamicBatcher:
         item_shape: Optional[tuple] = None,
         item_dtype=np.uint8,
         request_timeout_s: float = 300.0,
+        predict_dispatch: Optional[Callable] = None,
+        predict_fetch: Optional[Callable] = None,
     ):
         self._predict_many = predict_many
+        if predict_dispatch is not None:
+            if predict_fetch is None:
+                raise ValueError("predict_dispatch requires predict_fetch")
+            self._dispatch_fn, self._fetch_fn = predict_dispatch, predict_fetch
+        else:
+            self._dispatch_fn = predict_many
+            self._fetch_fn = lambda handle: handle
         self.max_batch = int(max_batch)
         self.window_s = float(window_ms) / 1000.0
         self.buckets = _buckets(self.max_batch)
@@ -127,13 +145,30 @@ class DynamicBatcher:
                 return b
         return self.buckets[-1]
 
+    _FAILED = object()  # dispatch already failed + delivered its errors
+
     def _run(self):
+        pending = None  # (items, handle): dispatched, results not yet fetched
         while True:
-            first = self._q.get()
+            if pending is None:
+                first = self._q.get()
+            else:
+                # A batch is in flight on the device: wait briefly for the
+                # head of the next batch so it can be dispatched back-to-back;
+                # if no traffic arrives, deliver the in-flight results.
+                try:
+                    first = self._q.get(timeout=self.window_s)
+                except queue.Empty:
+                    self._complete(*pending)
+                    pending = None
+                    continue
             if first is None:
+                if pending is not None:
+                    self._complete(*pending)
                 return
             items = [first]
             deadline = time.monotonic() + self.window_s
+            closing = False
             while len(items) < self.max_batch:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
@@ -143,36 +178,57 @@ class DynamicBatcher:
                 except queue.Empty:
                     break
                 if nxt is None:
-                    self._flush(items)
-                    return
+                    closing = True
+                    break
                 items.append(nxt)
-            self._flush(items)
+            handle = self._dispatch(items)
+            if pending is not None:
+                self._complete(*pending)  # overlap: next batch already queued
+            pending = None if handle is self._FAILED else (items, handle)
+            if closing:
+                if pending is not None:
+                    self._complete(*pending)
+                return
 
-    def _flush(self, items: Sequence[_Item]):
-        """One device step for ``items``. EVERYTHING is inside the try: an
-        exception anywhere (allocation included) must fail these waiters, not
-        kill the batcher thread — a dead thread would leave every later
-        request timing out while /healthz still answers ok."""
-        n = len(items)
+    def _dispatch(self, items: Sequence[_Item]):
+        """Pad ``items`` to a bucket and enqueue the device step. EVERYTHING
+        is inside the try: an exception anywhere (allocation included) must
+        fail these waiters, not kill the batcher thread — a dead thread would
+        leave every later request timing out while /healthz still answers
+        ok."""
         try:
-            bucket = self._bucket_for(n)
+            bucket = self._bucket_for(len(items))
             batch = np.zeros((bucket,) + items[0].img.shape, dtype=items[0].img.dtype)
             for i, it in enumerate(items):
                 batch[i] = it.img  # shapes/dtypes pre-validated in submit()
-            preds = np.asarray(self._predict_many(batch))
-            for i, it in enumerate(items):
+            return self._dispatch_fn(batch)
+        except BaseException as e:
+            self._deliver(items, None, e)
+            return self._FAILED
+
+    def _complete(self, items: Sequence[_Item], handle):
+        """Block on the in-flight handle and deliver results (or the error)."""
+        try:
+            preds = np.asarray(self._fetch_fn(handle))
+        except BaseException as e:  # propagate to every waiter, keep serving
+            self._deliver(items, None, e)
+            return
+        self._deliver(items, preds, None)
+
+    def _deliver(self, items: Sequence[_Item], preds, error):
+        n = len(items)
+        for i, it in enumerate(items):
+            if error is not None:
+                it.error = error
+            else:
                 it.result = preds[i]
                 it.batch_size = n
-        except BaseException as e:  # propagate to every waiter, keep serving
-            for it in items:
-                it.error = e
-        finally:
-            with self._lock:
-                self.stats["requests"] += n
-                self.stats["device_steps"] += 1
-                self.stats["max_coalesced"] = max(self.stats["max_coalesced"], n)
-            for it in items:
-                it.event.set()
+        with self._lock:
+            self.stats["requests"] += n
+            self.stats["device_steps"] += 1
+            self.stats["max_coalesced"] = max(self.stats["max_coalesced"], n)
+        for it in items:
+            it.event.set()
 
 
 class DepthService:
@@ -180,11 +236,12 @@ class DepthService:
 
     def __init__(self, model, state, cfg, mesh=None, max_batch: int = 8,
                  window_ms: float = 5.0, request_timeout_s: float = 300.0,
-                 predict_many=None):
+                 predict_many=None, pipeline: bool = True):
         self.cfg = cfg
         self.native = tuple(int(s) for s in cfg.framework.native_size)
         self.model_name = str(cfg.experiment.model_name)
         self._predict_impl = predict_many
+        dispatch = fetch = None
         if predict_many is None:
             # live-model path: jitted predict step over the (optional) mesh
             from ..parallel.mesh import shard_batch
@@ -194,22 +251,34 @@ class DepthService:
             self._mesh = mesh
             self._shard = shard_batch
             self._step = make_predict_step(model, cfg)
+            if pipeline:
+                # async dispatch/fetch pair: the batcher double-buffers —
+                # admits + dispatches batch k+1 while batch k is still in
+                # flight, so the device never idles between coalesced steps.
+                dispatch, fetch = self._predict_dispatch, self._predict_fetch
         self.batcher = DynamicBatcher(
             self._predict_many, max_batch, window_ms,
             item_shape=(*self.native, 3), item_dtype=np.uint8,
             request_timeout_s=request_timeout_s,
+            predict_dispatch=dispatch, predict_fetch=fetch,
         )
 
     # -- device path -------------------------------------------------------
+    def _predict_dispatch(self, rgb_u8: np.ndarray):
+        sharded = self._shard({"rgb": rgb_u8}, self._mesh)
+        return self._step(self._state, sharded["rgb"])  # async under jit
+
+    def _predict_fetch(self, handle) -> np.ndarray:
+        import jax
+
+        return np.asarray(jax.device_get(handle))
+
     def _predict_many(self, rgb_u8: np.ndarray) -> np.ndarray:
         if self._predict_impl is not None:
             # AOT path: a deserialized .mdex artifact (train/export.py) — no
             # model code, no state; buckets match the batcher's by contract.
             return np.asarray(self._predict_impl(rgb_u8))
-        import jax
-
-        sharded = self._shard({"rgb": rgb_u8}, self._mesh)
-        return np.asarray(jax.device_get(self._step(self._state, sharded["rgb"])))
+        return self._predict_fetch(self._predict_dispatch(rgb_u8))
 
     def warmup(self):
         """Compile every bucket program up front (first-request latency on a
@@ -337,7 +406,8 @@ def make_handler(service: DepthService):
 
 def build_service(cfg, max_batch: int = 8, window_ms: float = 5.0,
                   warmup: bool = True, request_timeout_s: float = 300.0,
-                  allow_uninitialized: bool = False) -> DepthService:
+                  allow_uninitialized: bool = False,
+                  pipeline: bool = True) -> DepthService:
     from ..parallel import make_training_mesh
     from .common import bootstrap_model, resolve_paths
 
@@ -358,7 +428,8 @@ def build_service(cfg, max_batch: int = 8, window_ms: float = 5.0,
     model, state, _ = bootstrap_model(cfg, mesh, checkpoint=ckpt)
     service = DepthService(model, state, cfg, mesh=mesh, max_batch=max_batch,
                            window_ms=window_ms,
-                           request_timeout_s=request_timeout_s)
+                           request_timeout_s=request_timeout_s,
+                           pipeline=pipeline)
     if warmup:
         service.warmup()
     return service
@@ -415,6 +486,9 @@ def main():
         p.add_argument("--allow-uninitialized", action="store_true",
                        help="serve random weights when no checkpoint exists "
                             "(dev/smoke only)")
+        p.add_argument("--no-pipeline", action="store_true",
+                       help="disable double-buffered batch dispatch (batches "
+                            "then run strictly one at a time)")
 
     cfg, args = parse_config("Depth inference server", extra=extra)
     if args.exported:
@@ -426,7 +500,8 @@ def main():
         service = build_service(cfg, args.max_batch, args.window_ms,
                                 warmup=not args.no_warmup,
                                 request_timeout_s=args.request_timeout,
-                                allow_uninitialized=args.allow_uninitialized)
+                                allow_uninitialized=args.allow_uninitialized,
+                                pipeline=not args.no_pipeline)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
 
     import signal

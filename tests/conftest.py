@@ -23,6 +23,49 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# ---------------------------------------------------------------------------
+# Test tiering: the full suite costs ~55 min on this 1-core host (202+ tests),
+# so the per-commit gate is `pytest -m "not slow"` (<10 min) and the full
+# suite runs per-round / when touching a slow subsystem. Modules here are the
+# heavyweights: torch-parity harnesses (build a torch model AND the flax one,
+# both on the single CPU core), subprocess-spawning distributed jobs, and the
+# overfit/e2e integration drivers. Individual tests can also opt in with
+# @pytest.mark.slow.
+# ---------------------------------------------------------------------------
+SLOW_MODULES = {
+    "test_beit_torch_parity",
+    "test_da2_torch_parity",
+    "test_dpt_torch_parity",
+    "test_flagship_torch_parity",
+    "test_hybrid_torch_parity",
+    "test_levit_torch_parity",
+    "test_localbins_torch_parity",
+    "test_midas_net_torch_parity",
+    "test_swin_torch_parity",
+    "test_train_parity",
+    "test_torch_import_numeric",
+    "test_torch_import_semantics",
+    "test_torch_import_levit",
+    "test_torch_import_backbones",
+    "test_distributed",
+    "test_overfit_integration",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight test (torch-parity harness, subprocess distributed "
+        'job, integration driver); excluded from the per-commit `-m "not slow"` gate',
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        module = item.nodeid.split("::", 1)[0].rsplit("/", 1)[-1].removesuffix(".py")
+        if module in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session", autouse=True)
 def _assert_cpu():

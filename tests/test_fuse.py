@@ -1,5 +1,6 @@
 """Conv+BN folding (nn/fuse.py — the reference's fuse_model equivalent)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -23,6 +24,7 @@ def _randomize_stats(batch_stats, key):
     return traverse_util.unflatten_dict(out)
 
 
+@pytest.mark.slow  # flagship-geometry heavyweight; small-geometry siblings stay in the quick gate
 def test_fuse_midas_small_eval_equivalence(rng):
     model = MidasNetSmall()
     x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 96, 3)).astype(np.float32))
@@ -43,6 +45,7 @@ def test_fuse_midas_small_eval_equivalence(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # flagship-geometry heavyweight; small-geometry siblings stay in the quick gate
 def test_fuse_flagship_eval_equivalence(rng):
     model = MidasNetSemantics(dinov2_image_size=(28, 42))
     x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 96, 3)).astype(np.float32))
@@ -55,6 +58,7 @@ def test_fuse_flagship_eval_equivalence(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # flagship-geometry heavyweight; small-geometry siblings stay in the quick gate
 def test_fuse_midas_net_eval_equivalence(rng):
     """MidasNet's ResNeXt encoder also lives under 'pretrained' but uses plain
     eps-1e-5 BatchNorm, not TFBatchNorm — the eps selection must key on the

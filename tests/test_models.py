@@ -55,6 +55,7 @@ def test_midas_small_variants_compile():
         assert m.apply(v, x, train=False).shape == (1, 64, 96)
 
 
+@pytest.mark.slow  # flagship-geometry heavyweight; small-geometry siblings stay in the quick gate
 def test_midas_semantics_flagship():
     m = MidasNetSemantics(dinov2_image_size=(56, 70))
     x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 128, 160, 3)), jnp.float32)
@@ -71,6 +72,7 @@ def test_midas_semantics_flagship():
     assert out2.shape == (1, 128, 160) and mut["batch_stats"]
 
 
+@pytest.mark.slow  # flagship-geometry heavyweight; small-geometry siblings stay in the quick gate
 def test_midas_semantics_frozen_dinov2_gets_no_updates():
     from mde_tpu import train as train_lib
 

@@ -1,6 +1,7 @@
 """Data-parallel training over the virtual 8-device CPU mesh (SURVEY.md §2.6:
 the TPU-native replacement for the reference's vestigial DataParallel)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -79,6 +80,7 @@ def test_clamp_data_axis():
     assert clamp_data_axis(4, 1, 8) == 1
 
 
+@pytest.mark.slow  # flagship-geometry heavyweight; small-geometry siblings stay in the quick gate
 def test_dryrun_multichip_contract():
     import importlib.util
     import os
@@ -280,6 +282,7 @@ def test_orbax_cross_topology_restore(rng, tmp_path):
         assert np.isfinite(float(jax.device_get(metrics["loss"])))
 
 
+@pytest.mark.slow  # flagship-geometry heavyweight; small-geometry siblings stay in the quick gate
 def test_tp_dp_flagship_step_matches_dp_only(rng):
     """Tensor parallelism (Megatron-style PartitionSpecs over the 'model'
     axis): one flagship train step on a (data=4, model=2) mesh must match the

@@ -1,5 +1,6 @@
 """Pallas kernels (interpret mode on CPU) vs their jnp reference math."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -64,6 +65,7 @@ def test_window_attention_fused_matches_xla_aligned(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # flagship-geometry heavyweight; small-geometry siblings stay in the quick gate
 def test_window_attention_fused_matches_xla_ragged_flagship(rng):
     """The flagship CrossAttention shape: 56x72 grid, ws=16 -> 2D-ragged edge
     windows whose invalid key slots are interleaved in flattened token order

@@ -71,6 +71,57 @@ def test_dynamic_batcher_coalesces_and_pads():
         b.close()
 
 
+def test_dynamic_batcher_pipelines_dispatch_before_fetch():
+    """With an async dispatch/fetch pair, the batcher must dispatch batch k+1
+    BEFORE fetching batch k's results (double-buffering: the device never
+    idles between coalesced steps). Sequencing is made deterministic by
+    blocking inside the first dispatch until the second request is queued."""
+    import time
+
+    order = []
+    first_in_dispatch = threading.Event()
+    second_queued = threading.Event()
+
+    def dispatch(batch):
+        v = float(batch[0, 0, 0, 0])
+        order.append(("dispatch", v))
+        if len(order) == 1:
+            first_in_dispatch.set()
+            assert second_queued.wait(10.0)
+        return batch[:, 0, 0, 0].astype(np.float32)
+
+    def fetch(handle):
+        order.append(("fetch", float(handle[0])))
+        return handle
+
+    def boom(batch):  # sync path must not be used when the pair is given
+        raise AssertionError("predict_many called despite dispatch/fetch")
+
+    b = DynamicBatcher(boom, max_batch=1, window_ms=20.0,
+                       predict_dispatch=dispatch, predict_fetch=fetch)
+    try:
+        results = {}
+
+        def call(v):
+            results[v] = b.submit(np.full((2, 3, 3), v, np.uint8))
+
+        t1 = threading.Thread(target=call, args=(1,))
+        t1.start()
+        assert first_in_dispatch.wait(10.0)
+        t2 = threading.Thread(target=call, args=(2,))
+        t2.start()
+        time.sleep(0.2)  # let request 2 reach the queue
+        second_queued.set()
+        t1.join(10.0)
+        t2.join(10.0)
+        assert order == [
+            ("dispatch", 1.0), ("dispatch", 2.0), ("fetch", 1.0), ("fetch", 2.0),
+        ], order
+        assert results[1] == (1.0, 1) and results[2] == (2.0, 1)
+    finally:
+        b.close()
+
+
 def test_dynamic_batcher_validates_items():
     """One bad request must fail alone at submit() — never inside a coalesced
     device batch where it would poison innocent waiters — and a float image

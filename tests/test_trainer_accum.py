@@ -7,6 +7,7 @@ included) equals the full-batch one, so the accumulated update must reproduce
 the single-step update bit-for-bit up to fp32 reduction order."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -131,6 +132,7 @@ def test_accumulated_step_close_on_bn_model_duplicated_halves(monkeypatch):
     _tree_allclose(state_a.params, state_b.params, rtol=0.05, atol=2e-4)
 
 
+@pytest.mark.slow  # flagship-geometry heavyweight; small-geometry siblings stay in the quick gate
 def test_accumulated_flagship_family_step_runs_and_converges_direction():
     """Different microbatches on a BN model: not bitwise-equal by design, but
     the loss must be finite and near the full-batch value."""

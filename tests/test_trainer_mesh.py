@@ -8,6 +8,7 @@ from fold_in(root_key, epoch) + iteration, which is absolute in epoch index.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -126,6 +127,7 @@ def test_fit_kill_resume_bitmatch_on_mesh(rng, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # flagship-geometry heavyweight; small-geometry siblings stay in the quick gate
 def test_fit_one_epoch_dp_tp_mesh_flagship(rng, tmp_path):
     """One fit() epoch on a (4,2) dp x tp mesh with the flagship: exercises
     the epoch driver + eval + best-checkpoint save with TP-SHARDED leaves
