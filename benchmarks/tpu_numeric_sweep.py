@@ -106,8 +106,11 @@ def main():
     rng = np.random.default_rng(0)
     worst = 0.0
     failures = []
+    only = set(sys.argv[1:])  # optional case-name filter for selective reruns
 
     for name, build, shape in cases():
+        if only and name not in only:
+            continue
         try:
             with jax.default_device(cpu):
                 model = build()
@@ -123,7 +126,18 @@ def main():
             out_tpu = np.asarray(jax.jit(fwd)(v_t, x_t))
             diff = out_tpu - out_cpu
             rel_l2 = float(np.linalg.norm(diff) / max(np.linalg.norm(out_cpu), 1e-12))
-            max_over_std = float(np.max(np.abs(diff)) / max(np.std(out_cpu), 1e-12))
+            # maxdiff normalizer: output std, floored at 1% of the output
+            # SCALE. The LocalBins heads produce a near-CONSTANT map at random
+            # init (sum(p*c) with near-uniform bin probabilities: measured
+            # std 2e-5..2e-4 on mean 0.73), so a bare /std manufactures
+            # O(10) "failures" out of uniform bf16-level noise (measured
+            # 2026-08-19: flagship_lb maxdiff 2.4e-4 spread over 100% of
+            # pixels — no localized-corruption signature, which is what this
+            # metric exists to catch; a real phase/slice miscompile shows up
+            # at the OUTPUT scale, far above the 1% floor).
+            scale = float(np.abs(out_cpu).mean())
+            denom = max(float(np.std(out_cpu)), 1e-2 * scale, 1e-12)
+            max_over_std = float(np.max(np.abs(diff)) / denom)
             status = "OK" if rel_l2 < 5e-2 and max_over_std < 0.5 else "FAIL"
             if status == "FAIL":
                 failures.append(name)
