@@ -56,7 +56,8 @@ def cached_flops_per_image(size):
     return None
 
 
-def conv_anchor_tflops(warmup=3, steps=20, repeats=3):
+def conv_anchor_tflops(warmup=3, steps=20, repeats=3,
+                       shape=(16, 112, 144, 128, 128), label="128ch"):
     """Same-process achievable-TFLOP/s probe: a plain 3x3 bf16 conv at a
     flagship-decoder-like shape. Perf claims are expressed relative to this
     (pct_of_conv_anchor) so they survive session-to-session tunnel drift.
@@ -67,7 +68,7 @@ def conv_anchor_tflops(warmup=3, steps=20, repeats=3):
 
     from benchmarks.timing import timeit
 
-    b, h, w, cin, cout = 16, 112, 144, 128, 128
+    b, h, w, cin, cout = shape
     x = jnp.ones((b, h, w, cin), jnp.bfloat16)
     k = jnp.ones((3, 3, cin, cout), jnp.bfloat16)
     f = jax.jit(
@@ -75,10 +76,21 @@ def conv_anchor_tflops(warmup=3, steps=20, repeats=3):
             x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
         )
     )
-    sec = timeit("# conv_anchor 3x3 128ch bf16", f, x, k,
+    sec = timeit(f"# conv_anchor 3x3 {label} bf16", f, x, k,
                  warmup=warmup, steps=steps, repeats=repeats)
     flops = 2.0 * b * h * w * cout * cin * 9
     return flops / sec / 1e12
+
+
+def floor_anchor_tflops(**kw):
+    """The parity-fixed topology's own roofline: a 64-channel 3x3 conv at the
+    flagship's full 448x576 resolution (the model's dominant channel width —
+    see BASELINE.md round-4 floor table, where the whole train step measures
+    ~99% of THIS anchor's rate). pct_of_conv_anchor vs the 128-ch anchor says
+    how far the chip's peak is; pct_of_floor_anchor says how close the step
+    runs to what its 64-lane-wide convs can physically achieve."""
+    return conv_anchor_tflops(shape=(8, 448, 576, 64, 64), label="64ch floor",
+                              **kw)
 
 
 def measure_loader(batch=16, n_images=48, size=(426, 560)):
@@ -386,16 +398,24 @@ def main():
     # where raw img/s is not (VERDICT r2 weak #2).
     achieved_tflops = None
     pct_of_conv_anchor = None
+    pct_of_floor_anchor = None
     anchor_tflops = None
+    floor_tflops = None
     if platform != "cpu":
         try:
             anchor_tflops = conv_anchor_tflops()
         except Exception as e:
             print(f"# conv anchor probe failed: {type(e).__name__}", flush=True)
+        try:
+            floor_tflops = floor_anchor_tflops()
+        except Exception as e:
+            print(f"# floor anchor probe failed: {type(e).__name__}", flush=True)
     if flops_per_image:
         achieved_tflops = flops_per_image * best_b / ok[best_b][1] / 1e12
         if anchor_tflops:
             pct_of_conv_anchor = 100.0 * achieved_tflops / anchor_tflops
+        if floor_tflops:
+            pct_of_floor_anchor = 100.0 * achieved_tflops / floor_tflops
 
     accum_ips = None
     if platform != "cpu":
@@ -467,6 +487,8 @@ def main():
         "achieved_tflops": round(achieved_tflops, 3) if achieved_tflops else None,
         "conv_anchor_tflops": round(anchor_tflops, 2) if anchor_tflops else None,
         "pct_of_conv_anchor": round(pct_of_conv_anchor, 1) if pct_of_conv_anchor else None,
+        "floor_anchor_tflops": round(floor_tflops, 2) if floor_tflops else None,
+        "pct_of_floor_anchor": round(pct_of_floor_anchor, 1) if pct_of_floor_anchor else None,
         "loader_images_per_sec_cold": round(loader_cold, 2) if loader_cold else None,
         "loader_images_per_sec_cached": round(loader_cached, 2) if loader_cached else None,
         "loader_keeps_up": (loader_cached >= best_ips) if loader_cached else None,
