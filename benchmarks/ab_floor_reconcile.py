@@ -1,0 +1,146 @@
+"""Reconcile the floor-anchor contradiction (VERDICT r4 Weak #2).
+
+BENCH_r04 measured the flagship train step at 68.0% of its same-session floor
+anchor; the round-4 profile table measured 99% of its own. Both ratios were
+built to be drift-immune (same-process anchor division), so a 31-point
+disagreement means the two TIMING LOOPS measure different things. The one
+structural difference: bench's loop executes ``jax.random.fold_in(key, i)``
+on the host INSIDE every timed iteration (a separate tiny jitted dispatch
+through the axon tunnel, serialized against the step dispatch), while the
+profile's loop reuses one key.
+
+This script itemizes the gap in ONE process at bs8:
+  A  floor anchor (3x3 64ch conv @448x576 bf16), before and after
+  B  bench-style loop: fold_in per step inside the window (BENCH_r04's form)
+  C  keys precomputed on device before the window (fold_in hoisted)
+  D  fixed key every step (the profile's form)
+
+and prints achieved TFLOP/s + pct-of-floor for B/C/D. If B << C ~= D, the
+fold_in dispatch is the itemized overhead and bench's isolated-step loop
+should hoist it (the production fit() loop's own fold_in overlap is measured
+separately by bench's e2e_images_per_sec field).
+
+Run: JAX_PLATFORMS=axon python benchmarks/ab_floor_reconcile.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from mde_tpu.core import compilation_cache
+
+compilation_cache.enable()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 8
+SIZE = (448, 576)
+
+
+def main():
+    from bench import cached_flops_per_image, floor_anchor_tflops
+    from mde_tpu.core import config as config_lib
+    from mde_tpu.models import build_model
+    from mde_tpu.train import create_train_state, make_train_step
+
+    cfg = config_lib.defaults()
+    cfg.framework.input_size = list(SIZE)
+    model = build_model(cfg.model)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, *SIZE, 3), jnp.float32), cfg, None
+    )
+    step = make_train_step(model, cfg)
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.integers(0, 255, (BATCH, *SIZE, 3)).astype(np.uint8))
+    depth = jnp.asarray(rng.uniform(0.5, 9.5, (BATCH, *SIZE)).astype(np.float32))
+    key = jax.random.key(1)
+
+    flops_img = cached_flops_per_image(SIZE)
+    print(f"flops/image: {flops_img/1e9:.1f} GF", flush=True)
+
+    anchor0 = floor_anchor_tflops()
+    print(f"A  floor anchor (pre):  {anchor0:.2f} TFLOP/s", flush=True)
+
+    # warmup / compile
+    for i in range(3):
+        state, metrics = step(state, jax.random.fold_in(key, i), rgb, depth)
+    float(jax.device_get(metrics["loss"]))
+
+    def window(body, steps=10):
+        nonlocal state
+        t0 = time.perf_counter()
+        m = body(steps)
+        float(jax.device_get(m["loss"]))
+        return (time.perf_counter() - t0) / steps
+
+    def run_mode(name, body, repeats=4):
+        nonlocal state
+        secs = []
+        for _ in range(repeats):
+            secs.append(window(body))
+        sec = float(np.median(secs))
+        tf = flops_img * BATCH / sec / 1e12
+        print(
+            f"{name:44s} {sec*1e3:8.2f} ms/step  {BATCH/sec:6.1f} img/s  "
+            f"{tf:5.2f} TFLOP/s  windows={['%.1f' % (s*1e3) for s in secs]}",
+            flush=True,
+        )
+        return sec, tf
+
+    state_holder = {}
+
+    def body_bench(steps):
+        nonlocal state
+        for i in range(steps):
+            state, m = step(state, jax.random.fold_in(key, 100 + i), rgb, depth)
+        return m
+
+    def body_prekeys(steps):
+        nonlocal state
+        keys = [jax.random.fold_in(key, 200 + i) for i in range(steps)]
+        float(jax.device_get(jax.random.key_data(keys[-1])[0]))  # materialize
+        t0 = time.perf_counter()
+        for k in keys:
+            state, m = step(state, k, rgb, depth)
+        float(jax.device_get(m["loss"]))
+        state_holder["sec"] = (time.perf_counter() - t0) / steps
+        return m
+
+    def body_fixed(steps):
+        nonlocal state
+        for _ in range(steps):
+            state, m = step(state, key, rgb, depth)
+        return m
+
+    # interleave the three modes so drift hits all equally
+    res = {"B_fold_in_per_step": [], "C_prekeys": [], "D_fixed_key": []}
+    for r in range(4):
+        res["B_fold_in_per_step"].append(window(body_bench))
+        body_prekeys(10)
+        res["C_prekeys"].append(state_holder["sec"])
+        res["D_fixed_key"].append(window(body_fixed))
+
+    for name, secs in res.items():
+        sec = float(np.median(secs))
+        tf = flops_img * BATCH / sec / 1e12
+        print(
+            f"{name:24s} {sec*1e3:8.2f} ms/step  {BATCH/sec:6.1f} img/s  "
+            f"{tf:5.2f} TFLOP/s  windows={['%.1f' % (s*1e3) for s in secs]}",
+            flush=True,
+        )
+
+    anchor1 = floor_anchor_tflops()
+    print(f"A' floor anchor (post): {anchor1:.2f} TFLOP/s", flush=True)
+    anchor = (anchor0 + anchor1) / 2
+    for name, secs in res.items():
+        tf = flops_img * BATCH / float(np.median(secs)) / 1e12
+        print(f"{name:24s} pct_of_floor = {100*tf/anchor:.1f}%", flush=True)
+
+
+if __name__ == "__main__":
+    main()

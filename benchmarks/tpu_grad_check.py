@@ -50,6 +50,19 @@ from mde_tpu.core import config as config_lib
 from mde_tpu.losses import combined_loss
 
 
+def _shift_depth_head_bias(params, path=("depth_head_1", "bias"), delta=2.0):
+    """Start the ReLU'd depth head comfortably positive. At random init most
+    output pixels sit AT the ReLU cliff, where the SI backward carries
+    1/(pred+1e-6) ~ 1e6 factors maximally sensitive to TPU bf16 forward noise
+    — the check would then measure cliff-amplified noise, not lowering error
+    (same shift as tests/test_train_parity.py's dynamics runs)."""
+    node = params
+    for k in path[:-1]:
+        node = node[k]
+    node[path[-1]] = node[path[-1]] + delta
+    return params
+
+
 def cases():
     from mde_tpu.models.midas_semantics import MidasNetSemantics
     from mde_tpu.models.midas_small import MidasNetSmall
@@ -57,19 +70,37 @@ def cases():
     nn = dict(non_negative=False)
     return [
         # Flagship default lowering: merged residual entry + the Pallas
-        # windowed-attention VJP on the TPU side.
+        # windowed-attention VJP on the TPU side. non_negative stays True (the
+        # production config) with the depth-head bias shifted off the ReLU
+        # cliff so the comparison exercises the smooth loss surface.
         ("flagship_semantics",
-         lambda: MidasNetSemantics(dinov2_image_size=(28, 42)), (2, 64, 96, 3)),
+         lambda: MidasNetSemantics(dinov2_image_size=(28, 42)), (2, 64, 96, 3),
+         _shift_depth_head_bias),
+        # The unmerged-entry flagship isolates the merged-residual-entry
+        # lowering's backward (the round-3 default-ON flip) from the rest.
+        ("flagship_unmerged_entry",
+         lambda: MidasNetSemantics(
+             dinov2_image_size=(28, 42), merge_residual_entry=False),
+         (2, 64, 96, 3), _shift_depth_head_bias),
         # The LocalBins/DGR tail — the slice/reshape/broadcast-heavy lowering
         # class (localbins_net.py:69-74, localbins_layers.py:171-361), now
         # also exercised through its backward.
         ("midas_small_lb_dgr",
          lambda: MidasNetSmall(features=64, use_lb=True, use_dgr=True, **nn),
-         (2, 64, 96, 3)),
+         (2, 64, 96, 3), None),
         ("flagship_lb",
          lambda: MidasNetSemantics(dinov2_image_size=(28, 42), use_lb=True),
-         (2, 64, 96, 3)),
+         (2, 64, 96, 3), _shift_depth_head_bias),
+        # One DPT family representative (VERDICT r4 item 2): hook-table
+        # reassembly + pos-embed interpolation under the backward.
+        ("dpt_vitb16", _dpt_case, (2, 64, 96, 3), None),
     ]
+
+
+def _dpt_case():
+    from mde_tpu.models.dpt import DPTDepthModel
+
+    return DPTDepthModel(backbone="vitb16_384", features=64, non_negative=False)
 
 
 def _grad_fn(model, cfg):
@@ -103,7 +134,7 @@ def main():
     failures = []
     only = set(sys.argv[1:])
 
-    for name, build, shape in cases():
+    for name, build, shape, prep in cases():
         if only and name not in only:
             continue
         try:
@@ -117,6 +148,8 @@ def main():
                 )
                 variables = model.init(jax.random.key(0), rgb, train=False)
                 params = variables["params"]
+                if prep is not None:
+                    params = prep(jax.device_get(variables["params"]))
                 stats = variables.get("batch_stats", {})
                 fn = _grad_fn(model, cfg)
                 loss_cpu, g_cpu = fn(params, stats, rgb, depth)
@@ -137,7 +170,13 @@ def main():
             )
             loss_rel = abs(loss_tpu - loss_cpu) / max(abs(loss_cpu), 1e-12)
 
-            # per-top-subtree localization
+            # Per-top-subtree localization. The denominator is floored at 1%
+            # of the GLOBAL gradient norm (not a bare 1e-12): a subtree whose
+            # true gradients are near zero (e.g. LocalBins heads at random
+            # init) would otherwise dominate worst_subtree with noise that is
+            # insignificant at gradient scale — the same near-zero-denominator
+            # false-flag class the forward sweep fixed in commit 6611fb2.
+            global_norm = np.linalg.norm(all_c)
             tops = {}
             for k in gc:
                 tops.setdefault(k.split("/", 1)[0], []).append(k)
@@ -148,6 +187,7 @@ def main():
                     )
                     / max(
                         np.linalg.norm(np.concatenate([gc[k].ravel() for k in ks])),
+                        1e-2 * global_norm,
                         1e-12,
                     )
                 )

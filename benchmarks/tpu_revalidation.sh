@@ -32,6 +32,12 @@ run entry_compile 900 python -c "import jax, __graft_entry__ as g; f,a=g.entry()
 run numeric_sweep 5400 python benchmarks/tpu_numeric_sweep.py
 SWEEP_RC=$?
 
+# The training BACKWARD on the chip (VERDICT r4 item 2): gradients of the
+# combined loss through the train-mode forward, CPU-golden vs TPU — includes
+# the Pallas windowed-attention custom VJP, which only executes on TPU.
+run grad_check 5400 python benchmarks/tpu_grad_check.py
+GRAD_RC=$?
+
 run ab_fusion_stack 3600 python benchmarks/ab_fusion_stack.py
 
 run bench 3600 python bench.py
@@ -39,4 +45,5 @@ run bench 3600 python bench.py
 echo "=== summary ===" | tee -a "$LOG"
 grep -E "rc=|REL_L2|rel_l2|PASS|FAIL|speedup|\"metric\"" "$LOG" | tail -60
 [ $SWEEP_RC -ne 0 ] && echo "NUMERIC SWEEP FAILED — investigate before touching merge_entry defaults"
+[ $GRAD_RC -ne 0 ] && echo "GRAD CHECK FAILED — the TPU backward diverges from CPU golden; treat as a miscompile until localized"
 exit 0

@@ -2,11 +2,12 @@
 
 Mirrors src/network/blocks.py:32-130 — every backbone name the reference
 dispatches on is registered here with its per-level channel table, so models and
-tools can query the full surface; names whose backbone implementation hasn't
-landed yet raise NotImplementedError with a clear message instead of silently
-misbehaving. Implemented today: efficientnet_lite3 (+ the rest of the lite
-family), resnext101_wsl, vitb16_384, vitl16_384, and the DINOv2 family used by
-the semantics model.
+tools can query the full surface. All names are implemented: convolutional
+backbones (the efficientnet-lite family, resnext101_wsl) build directly through
+this registry's 4-feature-map interface, while token/hierarchical backbones
+(ViT/BEiT/Swin/LeViT/Next-ViT — the "vit"/"dpt" markers below) are ROUTED to
+models.dpt's reassembly path; make_encoder raises for those names on purpose so
+a caller can't silently get the wrong feature contract.
 """
 
 from __future__ import annotations

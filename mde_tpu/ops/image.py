@@ -10,14 +10,26 @@ fuses into the training step (the BASELINE.json "fused Pallas on-device image
 pipeline" north star — expressed as XLA ops that fuse on the VPU, with the
 geometric warp as a single composed affine gather pass).
 
-Semantics parity notes:
+Semantics parity notes (each claim is a TEST in
+tests/test_augmentation_torch_parity.py, golden-run 2026-08-20):
 - normalization uses the ImageNet mean/std of the reference.
 - color jitter matches torchvision's sampling (factor ~ U[max(0,1-a), 1+a],
-  hue ~ U[-h, h]) and applies the four adjustments in a random order.
+  hue ~ U[-h, h]) and applies the four adjustments in a random order
+  (distributional tests on ranges/moments + all-24-permutations coverage).
+- brightness/contrast/saturation match PIL's ImageEnhance — the backend the
+  reference's live path actually exercises (ColorJitter on PIL images,
+  src/main.py:578-583) — within uint8 quantization (atol 3.5-4/255); hue
+  matches torchvision's tensor-backend float formula at 2e-6 and the PIL
+  HSV-uint8 path within PIL's own measured quantization floor (+6/255).
 - PairAug's geometry (RandomResizedCrop(scale=(0.8,1), ratio=(1,1)) +
   HorizontalFlip(p=.5) + Rotation(3 deg, p=.3)) is composed into ONE affine map
   per sample and applied jointly to RGB+depth with a single bilinear warp —
-  the kornia pipeline warps (and interpolates) three times.
+  the kornia pipeline warps (and interpolates) three times. The warp itself
+  matches torch grid_sample (align_corners=False, zeros) at 1e-5 under the
+  same affine; the intended interpolate-once-vs-thrice divergence vs the
+  three-warp chain is bounded at <2e-2 max-abs interior on smooth fields
+  (kornia is not installable here; the chain is reconstructed with plain
+  torch grid_sample, which is what kornia's warps bottom out in).
 """
 
 from __future__ import annotations

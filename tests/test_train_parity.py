@@ -416,18 +416,8 @@ def test_simple_unet_training_dynamics_parity():
     assert jl[-1] != pytest.approx(jl[0], rel=1e-3)
 
 
-def test_flagship_training_dynamics_parity():
-    """The FLAGSHIP (MidasNetSemantics) under the full cross-framework
-    training loop: beyond what the SimpleUNet/MidasNetSmall runs above cover,
-    this exercises the frozen-DINOv2 partition end-to-end on the real param
-    tree (requires_grad=False in torch, optax set_to_zero here —
-    /root/reference/src/network/midas_semantics.py:169-172), gradients
-    THROUGH the windowed cross-attention and fusion/depth heads, bicubic
-    pos-embed interpolation under training, and BN running-stat evolution in
-    the encoder + Dinov2Head + fusion head from a randomized-stats start.
-    Geometry is the forward-parity harness's (64x96 input, 28x42 DINOv2
-    branch) so CPU time stays sane; dynamics are geometry-independent."""
-    torch.manual_seed(7)
+def _build_flagship_torch(seed=7):
+    torch.manual_seed(seed)
     tmodel = MidasNetSemanticsTorch(features=64, dinov2_image_size=(28, 42))
     with torch.no_grad():
         # Non-trivial frozen branch (zeros would make the dino path vacuous
@@ -442,11 +432,231 @@ def test_flagship_training_dynamics_parity():
         # start the depth head comfortably positive so the comparison tests
         # the smooth part of the loss surface.
         tmodel.depth_head[1].bias.add_(2.0)
+    return tmodel
+
+
+def test_flagship_training_dynamics_parity_step_synced():
+    """The FLAGSHIP (MidasNetSemantics) cross-framework training check, in
+    STEP-SYNCED form: torch drives the trajectory; before every torch
+    optimizer step the current torch params+stats are re-imported into JAX
+    and the loss and full GRADIENT TREES are compared at identical params.
+
+    Why not the free-running trajectory form the other models use: the
+    flagship's gradient at this random init is violently ill-conditioned —
+    measured 2026-08-20 (benchmarks/diag_flagship_grad_parity.py): a 1e-6
+    RELATIVE param perturbation moves the JAX gradient by 17% rel-L2
+    (jax-vs-jax), i.e. fp32 reduction-order noise between any two frameworks
+    amplifies through the encoder's ReLU6 kinks to percent-level gradient
+    deltas and double-digit loss divergence within 3 free-running steps (a
+    torch-vs-torch control with a 1e-6 init perturbation diverges the same
+    way). The measured cross-framework gradient delta at IDENTICAL params is
+    1.3e-2–9.2e-2 — an order of magnitude BELOW that conditioning floor, so
+    the backwards agree as well as the loss surface permits. The thresholds
+    here (global 0.15, per-subtree 0.3) sit above the measured noise band and
+    far below the O(1) corruption a real backward bug produces (wrong VJP,
+    mis-masked subtree, transposed-conv error).
+
+    Beyond the gradient check this pins: the frozen-DINOv2 partition on the
+    real param tree (one live train_step; optax set_to_zero must leave the
+    subtree BIT-identical — decoupled wd must not touch it), and the final
+    eval-protocol metrics at the torch trajectory's endpoint (deterministic:
+    eval mode at imported params, no chaos).
+    """
+    tmodel = _build_flagship_torch()
     model = MidasNetSemantics(dinov2_image_size=(28, 42))
-    _run_parity(
-        model, tmodel, map_midas_semantics_key,
-        size=(64, 96), steps=8, batch=2, loss_rtol=2e-3, metric_rtol=5e-3,
+    size, steps, batch = (64, 96), 6, 2
+    cfg = _cfg(size)
+
+    batches = _make_batches(size, batch, steps, seed=11)
+    pipeline = T.make_train_pipeline(False, size)
+    root_key = jax.random.key(123)
+    inputs = []
+    for i, (rgb_u8, depth_raw) in enumerate(batches):
+        rgb, depth = pipeline(
+            jax.random.fold_in(root_key, i), jnp.asarray(rgb_u8), jnp.asarray(depth_raw)
+        )
+        inputs.append((np.asarray(rgb), np.asarray(depth)))
+
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, *size, 3), jnp.float32), train=False
     )
+    params_t = variables["params"]
+    stats_t = variables.get("batch_stats", {})
+
+    from mde_tpu.losses import combined_loss
+
+    def loss_fn(params, batch_stats, rgb, depth):
+        pred, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            rgb, train=True, mutable=["batch_stats"],
+        )
+        total, _ = combined_loss(pred.astype(jnp.float32), depth, cfg, rgb=rgb)
+        return total
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    def _import(sd_like):
+        p, s, report = import_state_dict(sd_like, params_t, stats_t, map_midas_semantics_key)
+        assert not report["shape_mismatch"], report["shape_mismatch"][:5]
+        return p, s
+
+    def _flat64(tree):
+        return {
+            "/".join(str(x) for x in k): np.asarray(v, np.float64)
+            for k, v in traverse_util.flatten_dict(jax.device_get(tree)).items()
+        }
+
+    opt = torch.optim.AdamW(
+        [p for p in tmodel.parameters() if p.requires_grad],
+        lr=1e-4, weight_decay=1e-4, betas=(0.9, 0.999), eps=1e-8,
+    )
+    tmodel.train()
+    params0 = None
+
+    for step_i, (rgb, depth) in enumerate(inputs):
+        sd = {k: np.asarray(v.detach().numpy()) for k, v in tmodel.state_dict().items()}
+        params, stats = _import(sd)
+        if params0 is None:
+            params0 = params
+        loss_j, g_j = grad_fn(params, stats, jnp.asarray(rgb), jnp.asarray(depth))
+
+        x = torch.from_numpy(np.ascontiguousarray(rgb.transpose(0, 3, 1, 2)))
+        y = torch.from_numpy(np.ascontiguousarray(depth.copy())).unsqueeze(1)
+        opt.zero_grad()
+        loss_t = _t_combined(tmodel(x).unsqueeze(1), y, x)
+        loss_t.backward()
+
+        # loss parity at identical params: forward + combined loss
+        np.testing.assert_allclose(
+            float(loss_j), loss_t.item(), rtol=1e-3,
+            err_msg=f"step {step_i}: loss diverged at identical params",
+        )
+
+        # gradient-tree parity: torch grads -> flax layout via the SAME
+        # import map (the conversions are shape transposes, valid on grads)
+        gsd = {
+            k: (np.asarray(p.grad.detach().numpy()) if p.grad is not None
+                else np.zeros(tuple(p.shape), np.float32))
+            for k, p in tmodel.named_parameters()
+        }
+        gsd.update({
+            k: np.zeros(tuple(b.shape), np.float32)
+            for k, b in tmodel.named_buffers()
+        })
+        zero_t = jax.tree_util.tree_map(jnp.zeros_like, params_t)
+        g_t, _, _ = import_state_dict(gsd, zero_t, stats_t, map_midas_semantics_key)
+
+        fj, ft = _flat64(g_j), _flat64(g_t)
+        # exact top-level-key match: dinov2 is the frozen backbone;
+        # dinov2_head is TRAINABLE and must stay in the comparison
+        keys = [k for k in sorted(fj) if k.split("/", 1)[0] != "dinov2"]
+        aj = np.concatenate([fj[k].ravel() for k in keys])
+        at = np.concatenate([ft[k].ravel() for k in keys])
+        gnorm = np.linalg.norm(at)
+        rel = np.linalg.norm(aj - at) / max(gnorm, 1e-12)
+        assert rel < 0.15, f"step {step_i}: global grad rel-L2 {rel:.3e}"
+        tops: dict[str, list] = {}
+        for k in keys:
+            tops.setdefault(k.split("/", 1)[0], []).append(k)
+        for tname, ks in tops.items():
+            dv = np.concatenate([(fj[k] - ft[k]).ravel() for k in ks])
+            tv = np.concatenate([ft[k].ravel() for k in ks])
+            # denominator floored at 1% of global norm so near-zero-gradient
+            # subtrees can't false-flag (commit 6611fb2's forward-sweep fix)
+            sub_rel = np.linalg.norm(dv) / max(np.linalg.norm(tv), 1e-2 * gnorm)
+            assert sub_rel < 0.3, (
+                f"step {step_i}: subtree {tname} grad rel-L2 {sub_rel:.3e}"
+            )
+
+        opt.step()
+
+    # ---- frozen-partition check on the real tree: one live train_step ----
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, *size, 3), jnp.float32), cfg, None
+    )
+    stats0 = _import(
+        {k: np.asarray(v.detach().numpy()) for k, v in _build_flagship_torch().state_dict().items()}
+    )[1]
+    state = state.replace(
+        params=params0, batch_stats=stats0, opt_state=state.tx.init(params0)
+    )
+    train_step = make_train_step(model, cfg)
+    rgb_u8, depth_raw = batches[0]
+    state2, _ = train_step(
+        state, jax.random.fold_in(root_key, 0), jnp.asarray(rgb_u8), jnp.asarray(depth_raw)
+    )
+    f0 = _flat64(params0)
+    f2 = _flat64(state2.params)
+    moved = sum(
+        not np.array_equal(f0[k], f2[k])
+        for k in f0 if k.split("/", 1)[0] == "dinov2"
+    )
+    assert moved == 0, f"{moved} frozen dinov2 leaves moved under the live step"
+    assert any(
+        not np.array_equal(f0[k], f2[k])
+        for k in f0 if k.split("/", 1)[0] != "dinov2"
+    ), "no trainable leaf moved — the step is vacuous"
+
+    # ---- eval-protocol metric parity at the torch trajectory endpoint ----
+    params_f, stats_f = _import(
+        {k: np.asarray(v.detach().numpy()) for k, v in tmodel.state_dict().items()}
+    )
+    state_f = state.replace(params=params_f, batch_stats=stats_f)
+    rgb_u8_e, depth_e = _make_batches(size, batch, 1, seed=99)[0]
+    got = evaluate(
+        model, cfg, state_f, [{"rgb": rgb_u8_e, "depth": depth_e}], n_samples=None
+    )
+    rgb_e, depth_r = T.preprocess_eval(
+        jnp.asarray(rgb_u8_e), jnp.asarray(depth_e), input_size=size
+    )
+    tmodel.eval()
+    with torch.no_grad():
+        pred_t = tmodel(
+            torch.from_numpy(np.ascontiguousarray(np.asarray(rgb_e).transpose(0, 3, 1, 2)))
+        )
+    want = _t_eval_metrics(pred_t, torch.from_numpy(np.asarray(depth_r)))
+    for k, v in want.items():
+        np.testing.assert_allclose(got[k], v, rtol=5e-3, atol=2e-4, err_msg=f"metric {k}")
+
+
+def test_flagship_free_running_smoke():
+    """Short free-running sanity on the flagship train loop (the step-synced
+    test above is the real parity check; per its docstring a tight
+    free-running trajectory assertion is unsound for this model at random
+    init). Asserts the jitted loop runs, losses are finite, the FIRST step's
+    loss matches torch tightly (pre-chaos), and the loss decreases overall."""
+    tmodel = _build_flagship_torch()
+    model = MidasNetSemantics(dinov2_image_size=(28, 42))
+    size, steps, batch = (64, 96), 3, 2
+    cfg = _cfg(size)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, *size, 3), jnp.float32), cfg, None
+    )
+    params0, stats0 = _import_params(tmodel, model, size, map_midas_semantics_key)
+    state = state.replace(
+        params=params0, batch_stats=stats0, opt_state=state.tx.init(params0)
+    )
+    train_step = make_train_step(model, cfg)
+    batches = _make_batches(size, batch, steps, seed=11)
+    pipeline = T.make_train_pipeline(False, size)
+    root_key = jax.random.key(123)
+    losses = []
+    for i, (rgb_u8, depth_raw) in enumerate(batches):
+        key = jax.random.fold_in(root_key, i)
+        state, metrics = train_step(state, key, jnp.asarray(rgb_u8), jnp.asarray(depth_raw))
+        losses.append(float(jax.device_get(metrics["loss"])))
+    assert np.all(np.isfinite(losses)), losses
+
+    tmodel.train()
+    rgb, depth = pipeline(
+        jax.random.fold_in(root_key, 0), jnp.asarray(batches[0][0]), jnp.asarray(batches[0][1])
+    )
+    x = torch.from_numpy(np.ascontiguousarray(np.asarray(rgb).transpose(0, 3, 1, 2)))
+    y = torch.from_numpy(np.ascontiguousarray(np.asarray(depth))).unsqueeze(1)
+    with torch.no_grad():
+        loss_t = _t_combined(tmodel(x).unsqueeze(1), y, x)
+    np.testing.assert_allclose(losses[0], loss_t.item(), rtol=1e-3)
+    assert losses[-1] < losses[0], losses
 
 
 def test_midas_small_training_dynamics_parity():
