@@ -432,6 +432,19 @@ def main():
     # tunnel-side compiler limit, not device OOM); the bs32-equivalent point
     # runs as 2 x bs16 gradient accumulation below instead.
     candidates = [16, 8, 4] if platform != "cpu" else [4]
+    # Pre-sweep floor-anchor sample: benchmarks/ab_floor_reconcile.py
+    # (2026-08-21) showed the 68%-vs-99% round-4 pct_of_floor contradiction
+    # was NOT a timing-loop defect (fold_in per step costs <=0.7%; all loop
+    # forms land at ~89%) but session weather moving the step and the tiny
+    # anchor program differently. Bracketing the anchor around the step
+    # windows (pre+post mean, drift recorded) keeps one bad sample from
+    # skewing the ratio.
+    floor_pre = None
+    if platform != "cpu":
+        try:
+            floor_pre = floor_anchor_tflops()
+        except Exception as e:
+            print(f"# pre-sweep floor anchor failed: {type(e).__name__}", flush=True)
     results, flops_per_image = measure_many(candidates)
     # Record WHICH FLOPs source fed achieved_tflops (ADVICE r3): the live
     # backend's cost analysis when it works, else the number precomputed from
@@ -464,8 +477,16 @@ def main():
         except Exception as e:
             print(f"# conv anchor probe failed: {type(e).__name__}", flush=True)
         try:
-            floor_tflops = floor_anchor_tflops()
+            floor_post = floor_anchor_tflops()
+            floor_tflops = (
+                (floor_pre + floor_post) / 2.0 if floor_pre else floor_post
+            )
+            if floor_pre:
+                drift = 100.0 * abs(floor_post - floor_pre) / floor_pre
+                print(f"# floor anchor pre/post: {floor_pre:.2f}/{floor_post:.2f} "
+                      f"TFLOP/s (drift {drift:.1f}%)", flush=True)
         except Exception as e:
+            floor_tflops = floor_pre
             print(f"# floor anchor probe failed: {type(e).__name__}", flush=True)
     if flops_per_image:
         achieved_tflops = flops_per_image * best_b / ok[best_b][1] / 1e12

@@ -21,6 +21,21 @@ should hoist it (the production fit() loop's own fold_in overlap is measured
 separately by bench's e2e_images_per_sec field).
 
 Run: JAX_PLATFORMS=axon python benchmarks/ab_floor_reconcile.py
+
+RESULT (2026-08-21, v5e via axon, bs8, interleaved 4 rounds x 3 modes):
+  flops/image 450.4 GF; floor anchor pre 23.24 / post 22.96 TFLOP/s (1.2%)
+  B_fold_in_per_step  175.61 ms/step  45.6 img/s  20.52 TFLOP/s  88.8% of floor
+  C_prekeys           174.20 ms/step  45.9 img/s  20.68 TFLOP/s  89.5% of floor
+  D_fixed_key         175.38 ms/step  45.6 img/s  20.54 TFLOP/s  88.9% of floor
+Reading: the fold_in dispatch costs <=0.7% — NOT the r4 68-vs-99 gap. All
+loop forms agree at ~89% of floor, and the same program that BENCH_r04 timed
+at 38.27 img/s ran 45.6 tonight: the contradiction was session weather moving
+the 175 ms step and the 6.5 ms anchor probe differently (the ratio is only
+drift-immune against multiplicative-common drift, which tunnel weather is
+not). bench.py now brackets the floor anchor pre+post around the step windows
+and records the drift; the steady-weather figure for "how close is the step
+to its conv floor" is ~89%, with the residual ~11% being the profiled
+non-conv time (attention, resizes, optimizer).
 """
 
 from __future__ import annotations
