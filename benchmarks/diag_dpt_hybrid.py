@@ -20,6 +20,22 @@ The probe compares CPU-golden vs TPU at each trunk tap and vs depth:
      miscompile.
 
 Run: JAX_PLATFORMS=axon,cpu python benchmarks/diag_dpt_hybrid.py
+
+RESULT (2026-08-21, v5e via axon):
+  StdConv 3->64 k7 s2            default   2.38e-3
+  ResNetV2Stem taps s1/s2/final  default   1.17e-2 / 2.95e-2 / 1.06e-1
+  ResNetV2Stem taps s1/s2/final  float32   5.79e-6 / 1.42e-5 / 5.54e-5
+  DPT hybrid full                default   4.06e-2   (matches the sweep's 4.05e-2)
+  DPT hybrid full                float32   1.88e-5
+Reading: suspect (b) confirmed, (a) excluded — the outlier is cumulative
+bf16-default-precision matmul error through the zoo's deepest trunk (relative
+error roughly x2.5 per preact stage, each GroupNorm re-normalizing so it
+compounds instead of washing out; a single StdConv contributes 2.4e-3, so no
+single stage is anomalous). Forcing fp32 matmul precision collapses the
+full-model error by 3 orders of magnitude, which a lowering miscompile could
+not do. Consequence baked into tpu_numeric_sweep.py: uniform 1e-2 threshold +
+automatic fp32-precision discriminator for the 1e-2..1e-1 band, replacing the
+one-size 5e-2 budget.
 """
 
 from __future__ import annotations

@@ -14,6 +14,14 @@ of healthy lowerings (measured: a bare fp32 matmul shows elementwise-max-rel
 13.3 but rel-L2 2e-3; precision="highest" drops it to 1e-3). A real
 miscompile shows up as rel-L2 near or above 1.
 
+Gate (two-tier since 2026-08-21): uniform rel-L2 < 1e-2; any case between
+1e-2 and 1e-1 is automatically re-run with fp32 matmul precision, which
+discriminates benign bf16 accumulation through deep trunks (collapses to
+<1e-3 on both metrics -> OK(bf16-accum)) from a real miscompile (precision-
+independent -> FAIL). Root-cause evidence in benchmarks/diag_dpt_hybrid.py:
+dpt_hybrid's 4.06e-2 grows stage-by-stage through the ResNetV2 stem at bf16
+(1.2e-2 -> 3.0e-2 -> 1.1e-1) and collapses to 1.9e-5 at fp32.
+
 Run from the repo root: JAX_PLATFORMS=axon,cpu python benchmarks/tpu_numeric_sweep.py
 """
 
@@ -138,11 +146,35 @@ def main():
             scale = float(np.abs(out_cpu).mean())
             denom = max(float(np.std(out_cpu)), 1e-2 * scale, 1e-12)
             max_over_std = float(np.max(np.abs(diff)) / denom)
-            status = "OK" if rel_l2 < 5e-2 and max_over_std < 0.5 else "FAIL"
+            status = "OK" if rel_l2 < 1e-2 and max_over_std < 0.5 else "FAIL"
+            extra = ""
+            if status == "FAIL" and rel_l2 < 1e-1:
+                # Two-tier gate (2026-08-21, diag_dpt_hybrid.py): deep trunks
+                # legitimately accumulate bf16-default-precision matmul error
+                # past a tight uniform threshold (dpt_hybrid: 4.06e-2 at bf16,
+                # growing 1.2e-2 -> 1.1e-1 through the ResNetV2 stem taps),
+                # while a real lowering miscompile corrupts INDEPENDENT of
+                # matmul precision. Re-running the case with fp32 matmuls
+                # discriminates: accumulation collapses (hybrid: 1.9e-5),
+                # a miscompile stays. This replaces the old one-size 5e-2
+                # threshold, under which the worst family had the least
+                # headroom to catch its own miscompile.
+                with jax.default_matmul_precision("float32"):
+                    out32 = np.asarray(jax.jit(fwd)(v_t, x_t))
+                rel32 = float(
+                    np.linalg.norm(out32 - out_cpu)
+                    / max(np.linalg.norm(out_cpu), 1e-12)
+                )
+                mos32 = float(np.max(np.abs(out32 - out_cpu)) / denom)
+                extra = f"  fp32_rel_l2 {rel32:9.2e}"
+                # localized corruption is precision-independent too — require
+                # the fp32 re-run to clear BOTH metrics
+                if rel32 < 1e-3 and mos32 < 0.5:
+                    status = "OK(bf16-accum)"
             if status == "FAIL":
                 failures.append(name)
             worst = max(worst, rel_l2)
-            print(f"{name:24s} rel_l2 {rel_l2:9.2e}  maxdiff/std {max_over_std:9.2e}  {status}",
+            print(f"{name:24s} rel_l2 {rel_l2:9.2e}  maxdiff/std {max_over_std:9.2e}  {status}{extra}",
                   flush=True)
         except Exception as e:
             failures.append(name)
