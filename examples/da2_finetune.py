@@ -17,6 +17,13 @@ Usage:  python examples/da2_finetune.py [--data-dir data] [--epochs 2]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# run-from-anywhere: background shells may start outside the repo root, and
+# PYTHONPATH breaks the axon plugin (CLAUDE.md) — self-insert instead
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 import tempfile
